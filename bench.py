@@ -1,0 +1,89 @@
+"""Driver benchmark: cornell-box primary-ray throughput on one chip.
+
+Mirrors the reference's CTest benchmark configuration
+(reference: test/CMakeLists.txt:16-24, test/benchmark.cpp:414-431):
+cornell_box.obj, 1024x1024 primary rays, eye (0,1,2) dir (0,0,-1)
+up (0,1,0), quality=high, permuted primitives.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the C++ reference benchmark compiled -O2 on this machine
+renders the same config in ~90 ms single-threaded = 11.65 Mrays/s
+(build/bin/benchmark, see BASELINE.md for the published chart numbers).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MRAYS_S = 11.65  # C++ reference, same scene/camera, this host
+WIDTH = HEIGHT = 1024
+SCENE_CANDIDATES = [
+    "/root/reference/test/scenes/cornell_box.obj",
+    "tests/golden/tris.bin",
+]
+
+
+def load_scene():
+    import os
+
+    path = SCENE_CANDIDATES[0]
+    if os.path.exists(path):
+        from bvh_tpu.io.obj import load_obj
+
+        p0, p1, p2 = load_obj(path)
+        return np.stack([p0, p1, p2], axis=1)
+    data = np.fromfile(SCENE_CANDIDATES[1], np.float32)
+    return data.reshape(-1, 3, 3)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bvh_tpu.api.flat import BuildConfig, bvh3f
+    from bvh_tpu.cli.camera import primary_rays
+    from bvh_tpu.geom.tri import PrecomputedTri, Tri
+    from bvh_tpu.traverse.wavefront import intersect_tris
+
+    tris = load_scene()
+    tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]), jnp.asarray(tris[:, 2]))
+    bb_min, bb_max = tri.get_bbox()
+    centers = tri.get_center()
+
+    bvh = bvh3f.build(bb_min, bb_max, centers, BuildConfig())
+    perm = jnp.asarray(np.asarray(bvh.prim_ids).astype(np.int64))
+    flat = PrecomputedTri.from_tri(tri).as_flat()[perm]
+
+    rays = primary_rays([0, 1, 2], [0, 0, -1], [0, 1, 0], WIDTH, HEIGHT)
+
+    def render():
+        hit = intersect_tris(bvh, flat, rays, permuted=True)
+        hit.t.block_until_ready()
+        return hit
+
+    hit = render()  # compile + warm-up
+    n_hits = int(np.asarray(hit.hit).sum())
+    print(f"# {n_hits} intersections", file=sys.stderr)
+
+    times = []
+    for _ in range(5):
+        start = time.perf_counter()
+        render()
+        times.append(time.perf_counter() - start)
+    times.sort()
+    median_s = times[len(times) // 2]
+    mrays = WIDTH * HEIGHT / median_s / 1e6
+
+    print(json.dumps({
+        "metric": "primary_rays_cornell_1024",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

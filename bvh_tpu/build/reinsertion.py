@@ -1,0 +1,326 @@
+"""Parallel reinsertion optimizer (Meister & Bittner).
+
+TPU-native counterpart of `ReinsertionOptimizer`
+(reference: src/bvh/v2/reinsertion_optimizer.h). Per iteration
+(max_iter_count, default 3):
+
+1. candidates = top `batch_size_ratio * node_count` nodes by half-area
+   (reference: find_candidates, 88-105) — here a `jax.lax.top_k`;
+2. for every candidate in parallel, search the best reinsertion target
+   with a branch-and-bound walk up from the node and down into the
+   siblings' subtrees (reference: find_reinsertion, 107-188) — here a
+   batched `while_loop` with fixed-size per-candidate stacks;
+3. sort by area gain descending and apply greedily, skipping any
+   reinsertion whose 5-node conflict set {to, from, sibling(from),
+   parent(to), parent(from)} touches an already-applied one
+   (reference: get_conflicts + the serial loop, 227-234, 254-265).
+
+Step 3's greedy pass is inherently sequential in the reference; here it
+is realized as a `lax.scan` over the gain-sorted batch carrying the
+`touched` bitmap, preserving the reference's exact accept/skip
+semantics (deterministic), followed by a vectorized application of all
+accepted, conflict-free moves (their node edits are disjoint by
+construction) and a masked path-refit to the root.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from bvh_tpu.core import bbox as bbox_ops
+from bvh_tpu.core.types import Bvh, Index, make_node_bounds_row
+
+
+@dataclasses.dataclass(frozen=True)
+class ReinsertionConfig:
+    """Names/defaults match reference: reinsertion_optimizer.h:19-25."""
+
+    batch_size_ratio: float = 0.05
+    max_iter_count: int = 3
+    # Static bound on the branch-and-bound descent stack; the reference
+    # grows a std::vector (find_reinsertion, 148). 64 covers SAH trees.
+    search_stack_depth: int = 64
+    # Static batch capacity as a fraction of node capacity (the dynamic
+    # batch size is min(ratio * node_count, this cap)).
+    max_batch: int | None = None
+
+
+def _half_area_rows(rows):
+    return bbox_ops.get_half_area(rows[..., 0::2], rows[..., 1::2])
+
+
+def compute_parents(index, node_count, cap):
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    inner = Index.is_inner(index) & (ids < node_count)
+    first = Index.first_id(index).astype(jnp.int32)
+    parents = jnp.zeros((cap,), jnp.int32)
+    parents = parents.at[jnp.where(inner, first, cap)].set(ids, mode="drop")
+    parents = parents.at[jnp.where(inner, first + 1, cap)].set(ids, mode="drop")
+    return parents
+
+
+def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth):
+    """Vectorized branch-and-bound search (reference: 107-188).
+
+    For each candidate `from`-node, walks pivots up to the root; at each
+    pivot explores the sibling subtree with a bounded stack, tracking
+    the best area decrease. Returns (to, area_diff) per candidate.
+    """
+    cap = index.shape[0]
+    B = node_ids.shape[0]
+    dtype = bounds.dtype
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    node_area = _half_area_rows(bounds[node_ids])
+    node_mn = bounds[node_ids][:, 0::2]
+    node_mx = bounds[node_ids][:, 1::2]
+
+    parent0 = parents[node_ids]
+    parent_area = _half_area_rows(bounds[parent0])
+    sib0 = Bvh.get_sibling_id(node_ids)
+
+    # Per-candidate state of the two nested loops flattened into one
+    # while_loop: (pivot walk) x (subtree stack).
+    state = dict(
+        best_to=jnp.zeros((B,), jnp.int32),
+        best_diff=jnp.zeros((B,), dtype),  # must be > 0 to accept
+        area_diff=parent_area,
+        pivot=parent0,
+        sibling=sib0,
+        pivot_mn=bounds[sib0][:, 0::2],
+        pivot_mx=bounds[sib0][:, 1::2],
+        stack_val=jnp.zeros((B, stack_depth), dtype),
+        stack_id=jnp.zeros((B, stack_depth), jnp.int32),
+        sp=jnp.zeros((B,), jnp.int32),
+        seeded=jnp.zeros((B,), bool),  # sibling pushed for this pivot?
+        alive=valid & (node_ids != 0),
+    )
+
+    def step(s):
+        alive = s["alive"]
+        # Seed the stack with (area_diff, sibling) when starting a pivot
+        # level (reference: 151).
+        need_seed = alive & ~s["seeded"]
+        col = jnp.where(need_seed, s["sp"], stack_depth)
+        stack_val = s["stack_val"].at[rows, col].set(s["area_diff"], mode="drop")
+        stack_id = s["stack_id"].at[rows, col].set(s["sibling"], mode="drop")
+        sp = jnp.where(need_seed, s["sp"] + 1, s["sp"])
+        seeded = s["seeded"] | need_seed
+
+        # Pop one entry and evaluate (reference: 152-170).
+        has_work = alive & (sp > 0)
+        spm1 = jnp.clip(sp - 1, 0, stack_depth - 1)
+        top_val = stack_val[rows, spm1]
+        top_id = stack_id[rows, spm1]
+        sp = jnp.where(has_work, sp - 1, sp)
+
+        prune = top_val - node_area <= s["best_diff"]  # bound (155)
+        eval_ = has_work & ~prune
+
+        dst_row = bounds[jnp.clip(top_id, 0, cap - 1)]
+        merged_mn = jnp.minimum(dst_row[:, 0::2], node_mn)
+        merged_mx = jnp.maximum(dst_row[:, 1::2], node_mx)
+        merged_area = bbox_ops.get_half_area(merged_mn, merged_mx)
+        reinsert_area = top_val - merged_area
+        better = eval_ & (reinsert_area > s["best_diff"])
+        best_to = jnp.where(better, top_id, s["best_to"])
+        best_diff = jnp.where(better, reinsert_area, s["best_diff"])
+
+        # Push children with the child bound (reference: 166-170).
+        dst_idx = index[jnp.clip(top_id, 0, cap - 1)]
+        dst_inner = Index.is_inner(dst_idx)
+        child_area = reinsert_area + _half_area_rows(dst_row)
+        push = eval_ & dst_inner
+        first = Index.first_id(dst_idx).astype(jnp.int32)
+        col0 = jnp.where(push, sp, stack_depth)
+        stack_val = stack_val.at[rows, col0].set(child_area, mode="drop")
+        stack_id = stack_id.at[rows, col0].set(first, mode="drop")
+        sp = jnp.where(push, sp + 1, sp)
+        col1 = jnp.where(push, sp, stack_depth)
+        stack_val = stack_val.at[rows, col1].set(child_area, mode="drop")
+        stack_id = stack_id.at[rows, col1].set(first + 1, mode="drop")
+        sp = jnp.where(push, sp + 1, sp)
+
+        # When this pivot's subtree is exhausted, climb one level; stop
+        # when the climb would reach the root (reference: 173-182, the
+        # do-while exits when parents[pivot] == 0 so the root-level
+        # sibling is never explored).
+        exhausted = alive & seeded & (sp == 0)
+        next_pivot = parents[jnp.clip(s["pivot"], 0, cap - 1)]
+        finish = exhausted & (next_pivot == 0)
+        climb = exhausted & (next_pivot != 0)
+
+        # pivot_bbox extend + area_diff update happen for pivots past the
+        # first (reference: 175-178): after moving to the new pivot, if
+        # new pivot != original parent.
+        new_sibling = Bvh.get_sibling_id(s["pivot"])
+        new_pivot = parents[jnp.clip(s["pivot"], 0, cap - 1)]
+        sib_row = bounds[jnp.clip(s["sibling"], 0, cap - 1)]
+        ext_mn = jnp.minimum(s["pivot_mn"], sib_row[:, 0::2])
+        ext_mx = jnp.maximum(s["pivot_mx"], sib_row[:, 1::2])
+        pivot_row = bounds[jnp.clip(s["pivot"], 0, cap - 1)]
+        new_area_diff = s["area_diff"] + _half_area_rows(pivot_row) - bbox_ops.get_half_area(ext_mn, ext_mx)
+
+        # The reference extends pivot_bbox with the *current* sibling
+        # before computing the decrease, only when pivot != parent
+        # (i.e. from the second climb on).
+        is_first_climb = s["pivot"] == parent0
+        area_diff = jnp.where(
+            climb,
+            jnp.where(is_first_climb, s["area_diff"], new_area_diff),
+            s["area_diff"],
+        )
+        pivot_mn = jnp.where(climb[:, None] & ~is_first_climb[:, None], ext_mn, s["pivot_mn"])
+        pivot_mx = jnp.where(climb[:, None] & ~is_first_climb[:, None], ext_mx, s["pivot_mx"])
+
+        return dict(
+            best_to=best_to,
+            best_diff=best_diff,
+            area_diff=area_diff,
+            pivot=jnp.where(climb, new_pivot, s["pivot"]),
+            sibling=jnp.where(climb, new_sibling, s["sibling"]),
+            pivot_mn=pivot_mn,
+            pivot_mx=pivot_mx,
+            stack_val=stack_val,
+            stack_id=stack_id,
+            sp=sp,
+            seeded=seeded & ~climb,
+            alive=alive & ~finish,
+        )
+
+    state = jax.lax.while_loop(lambda s: jnp.any(s["alive"]), step, state)
+
+    best_to = state["best_to"]
+    best_diff = state["best_diff"]
+    # Reject degenerate targets (reference: 184-187).
+    degenerate = (best_to == Bvh.get_sibling_id(node_ids)) | (best_to == parent0)
+    ok = valid & (node_ids != 0) & ~degenerate & (best_diff > 0)
+    return jnp.where(ok, best_to, 0), jnp.where(ok, best_diff, 0)
+
+
+def optimize_reinsertion(bvh: Bvh, config: ReinsertionConfig | None = None) -> Bvh:
+    """Optimize `bvh` in place (functionally) by parallel reinsertion
+    (reference: optimize, 236-267)."""
+    if config is None:
+        config = ReinsertionConfig()
+    cap = bvh.index.shape[0]
+    dtype = bvh.bounds.dtype
+    batch_cap = config.max_batch or max(1, int(cap * config.batch_size_ratio) + 1)
+    batch_cap = min(batch_cap, cap)
+
+    bounds, index = bvh.bounds, bvh.index
+    node_count = bvh.node_count
+
+    for _ in range(config.max_iter_count):
+        bounds, index = _one_iteration(
+            bounds,
+            index,
+            node_count,
+            batch_cap,
+            config.search_stack_depth,
+            config.batch_size_ratio,
+        )
+    return bvh._replace(bounds=bounds, index=index)
+
+
+@partial(jax.jit, static_argnames=("batch_cap", "stack_depth", "ratio"))
+def _one_iteration(
+    bounds, index, node_count, batch_cap: int, stack_depth: int, ratio: float
+):
+    cap = index.shape[0]
+    ids = jnp.arange(cap, dtype=jnp.int32)
+    parents = compute_parents(index, node_count, cap)
+
+    # --- candidates: top-k by half-area, excluding the root
+    # (reference: find_candidates, 88-105). batch_size =
+    # ratio * node_count dynamically, masked within the static top-k.
+    area = _half_area_rows(bounds)
+    valid_node = (ids > 0) & (ids < node_count)
+    scores = jnp.where(valid_node, area, -jnp.inf)
+    top_scores, top_ids = jax.lax.top_k(scores, batch_cap)
+    batch_size = jnp.maximum(
+        1, (node_count.astype(jnp.float32) * ratio).astype(jnp.int32)
+    )
+    valid = (jnp.arange(batch_cap) < batch_size) & jnp.isfinite(top_scores)
+    cand = top_ids.astype(jnp.int32)
+
+    to, diff = _find_reinsertion_batch(bounds, index, parents, cand, valid, stack_depth)
+
+    # --- sort by decreasing gain (reference: 256) and greedily accept
+    # conflict-free moves via a scan over the touched bitmap (258-265).
+    order = jnp.argsort(-diff)
+    to_s = to[order]
+    from_s = cand[order]
+    diff_s = diff[order]
+    sib_s = Bvh.get_sibling_id(from_s)
+    pto_s = parents[jnp.clip(to_s, 0, cap - 1)]
+    pfrom_s = parents[jnp.clip(from_s, 0, cap - 1)]
+
+    def accept_step(touched, args):
+        to_i, from_i, sib_i, pto_i, pfrom_i, ok_i = args
+        conflicts = jnp.stack([to_i, from_i, sib_i, pto_i, pfrom_i])
+        clash = jnp.any(touched[conflicts])
+        take = ok_i & ~clash
+        touched = touched.at[conflicts].set(touched[conflicts] | take)
+        return touched, take
+
+    touched0 = jnp.zeros((cap,), bool)
+    _, accepted = jax.lax.scan(
+        accept_step,
+        touched0,
+        (to_s, from_s, sib_s, pto_s, pfrom_s, diff_s > 0),
+    )
+
+    # --- apply all accepted moves at once (reference: reinsert_node,
+    # 190-213). Their conflict sets are disjoint, so the scatters below
+    # touch disjoint node slots.
+    t_ = jnp.where(accepted, to_s, cap)
+    f_ = jnp.where(accepted, from_s, cap)
+    s_ = jnp.where(accepted, sib_s, cap)
+    p_ = jnp.where(accepted, pfrom_s, cap)
+    sib_rows = bounds[jnp.clip(sib_s, 0, cap - 1)]
+    sib_idx = index[jnp.clip(sib_s, 0, cap - 1)]
+    dst_rows = bounds[jnp.clip(to_s, 0, cap - 1)]
+    dst_idx = index[jnp.clip(to_s, 0, cap - 1)]
+
+    # nodes[to].index = inner(left_sibling(from)); nodes[sibling] = dst;
+    # nodes[parent] = sibling.
+    index = index.at[t_].set(
+        Index.make_inner(Bvh.get_left_sibling_id(from_s), index.dtype), mode="drop"
+    )
+    bounds = bounds.at[s_].set(dst_rows, mode="drop")
+    index = index.at[s_].set(dst_idx, mode="drop")
+    bounds = bounds.at[p_].set(sib_rows, mode="drop")
+    index = index.at[p_].set(sib_idx, mode="drop")
+
+    # --- refit every ancestor path bottom-up (reference: refit_from,
+    # 215-225): recompute parents, then run ready-propagation passes
+    # only along dirty paths; simpler and equivalent: full inner refit.
+    parents = compute_parents(index, node_count, cap)
+    inner = Index.is_inner(index) & (ids < node_count)
+    first = Index.first_id(index).astype(jnp.int32)
+    is_leaf = ~inner & (ids < node_count)
+
+    def cond(st):
+        _, done = st
+        return jnp.any((ids < node_count) & ~done)
+
+    def body(st):
+        b, done = st
+        l = jnp.clip(first, 0, cap - 1)
+        r = jnp.clip(first + 1, 0, cap - 1)
+        can = inner & ~done & done[l] & done[r]
+        lrow, rrow = b[l], b[r]
+        mn = jnp.minimum(lrow[:, 0::2], rrow[:, 0::2])
+        mx = jnp.maximum(lrow[:, 1::2], rrow[:, 1::2])
+        merged = make_node_bounds_row(mn, mx)
+        return jnp.where(can[:, None], merged, b), done | can
+
+    bounds, _ = jax.lax.while_loop(
+        cond, body, (bounds, is_leaf | (ids >= node_count))
+    )
+    return bounds, index
