@@ -143,13 +143,71 @@ def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None
 
     real = counts > 0
 
-    # ---- step 6: sweep top tree over mini-tree root bboxes ----------
-    root_rows = forest.bounds[:g_cap]
-    root_mn, root_mx = root_rows[:, 0::2], root_rows[:, 1::2]
-    scene_mx = jnp.max(jnp.where(real[:, None], root_mx, -jnp.inf), axis=0)
-    # Phantom groups: point boxes at the scene corner; erased below.
-    top_mn = jnp.where(real[:, None], root_mn, scene_mx)
-    top_mx = jnp.where(real[:, None], root_mx, scene_mx)
+    # ---- step 5: pruning — choose the splice roots -------------------
+    # (reference: prune_mini_trees, 207-247). A forest node becomes a
+    # splice root when its half-area drops below `pruning_area_ratio` x
+    # the average mini-tree root area (or it is a leaf) and every
+    # ancestor within its mini-tree stayed above the threshold. With
+    # pruning off, the splice roots are the mini-tree roots themselves;
+    # both cases run the same generalized splice below.
+    ids_f = jnp.arange(forest_cap, dtype=jnp.int32)
+    valid_f = ids_f < forest.node_count
+    is_root_slot = ids_f < g_cap
+    real_root = is_root_slot & jnp.pad(real, (0, forest_cap - g_cap))
+    area_f = bbox_ops.get_half_area(forest.bounds[:, 0::2], forest.bounds[:, 1::2])
+    leaf_f = Index.is_leaf(forest.index) & valid_f
+    inner_f = ~leaf_f & valid_f
+    first_f = Index.first_id(forest.index).astype(jnp.int32)
+
+    g2_cap = max(g_cap, min(4 * g_cap, n))
+    if config.enable_pruning:
+        num_real = jnp.maximum(jnp.sum(real.astype(jnp.int32)), 1)
+        avg_area = jnp.sum(jnp.where(real_root, area_f, 0)) / num_real.astype(dtype)
+        thr = avg_area * jnp.asarray(config.pruning_area_ratio, dtype)
+        ok = area_f >= thr
+
+        # Top-down propagation: anc_ok(child) = anc_ok(p) & ok(p).
+        parents_f = jnp.zeros((forest_cap,), jnp.int32)
+        lch = jnp.where(inner_f, first_f, forest_cap)
+        rch = jnp.where(inner_f, first_f + 1, forest_cap)
+        parents_f = parents_f.at[lch].set(ids_f, mode="drop")
+        parents_f = parents_f.at[rch].set(ids_f, mode="drop")
+
+        def td_cond(st):
+            done, _ = st
+            return jnp.any(valid_f & ~done)
+
+        def td_body(st):
+            done, anc_ok = st
+            p = parents_f
+            can = valid_f & ~done & done[p]
+            anc_ok = jnp.where(can, anc_ok[p] & ok[p], anc_ok)
+            return done | can, anc_ok
+
+        done0 = ~valid_f | is_root_slot
+        _, anc_ok = jax.lax.while_loop(td_cond, td_body, (done0, real_root))
+        pruned_root = anc_ok & (~ok | leaf_f) & valid_f
+        pruned_root = jnp.where(is_root_slot, real_root & (~ok | leaf_f), pruned_root)
+        # Static capacity guard: too many cut points -> no pruning.
+        overflow = jnp.sum(pruned_root.astype(jnp.int32)) > g2_cap
+        pruned_root = jnp.where(overflow, real_root, pruned_root)
+    else:
+        pruned_root = real_root
+
+    # ---- step 6: sweep top tree over splice-root bboxes --------------
+    pr_i = pruned_root.astype(jnp.int32)
+    pr_rank = jnp.cumsum(pr_i, dtype=jnp.int32) - pr_i
+    proot_of = jnp.full((g2_cap,), -1, jnp.int32).at[
+        jnp.where(pruned_root, pr_rank, g2_cap)
+    ].set(ids_f, mode="drop")
+    real2 = proot_of >= 0
+    pr_rows = forest.bounds[jnp.clip(proot_of, 0, forest_cap - 1)]
+    pr_mn, pr_mx = pr_rows[:, 0::2], pr_rows[:, 1::2]
+    scene_mx = jnp.max(jnp.where(real2[:, None], pr_mx, -jnp.inf), axis=0)
+    # Phantom entries (absent splice roots under the static capacity):
+    # point boxes at the scene corner; erased below.
+    top_mn = jnp.where(real2[:, None], pr_mn, scene_mx)
+    top_mx = jnp.where(real2[:, None], pr_mx, scene_mx)
     top_centers = bbox_ops.get_center(top_mn, top_mx)
     top_cfg = TopDownConfig(sah=config.sah, min_leaf_size=1, max_leaf_size=1)
     top_raw = build_sweep(top_mn, top_mx, top_centers, top_cfg)
@@ -157,49 +215,89 @@ def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None
     # Erase phantom leaves exactly, then refit inner bounds.
     top_cap = top_raw.index.shape[0]
     leaf_first = Index.first_id(top_raw.index).astype(jnp.int32)
-    leaf_group = top_raw.prim_ids[jnp.clip(leaf_first, 0, g_cap - 1)].astype(jnp.int32)
-    keep = real[jnp.clip(leaf_group, 0, g_cap - 1)]
+    leaf_slot = top_raw.prim_ids[jnp.clip(leaf_first, 0, g2_cap - 1)].astype(jnp.int32)
+    keep = real2[jnp.clip(leaf_slot, 0, g2_cap - 1)]
     top = canonicalize(top_raw, keep)
     from bvh_tpu.traverse.refit import refit
 
     top = refit(top)
 
-    # ---- splice (reference: 262-308) ---------------------------------
-    final_cap = top_cap + forest_cap  # static
+    # ---- generalized splice (reference: 262-308) ----------------------
+    # Forest nodes strictly below a splice root are copied, in sibling
+    # PAIRS, contiguously after the top tree; pair order preserves the
+    # left-child-at-odd-index invariant because the top tree's node
+    # count is odd (2L-1).
+    def sb_cond(st):
+        done, _ = st
+        return jnp.any(valid_f & ~done)
+
+    parents_f2 = jnp.zeros((forest_cap,), jnp.int32)
+    lch2 = jnp.where(inner_f, first_f, forest_cap)
+    rch2 = jnp.where(inner_f, first_f + 1, forest_cap)
+    parents_f2 = parents_f2.at[lch2].set(ids_f, mode="drop")
+    parents_f2 = parents_f2.at[rch2].set(ids_f, mode="drop")
+
+    def sb_body(st):
+        done, below = st
+        p = parents_f2
+        can = valid_f & ~done & done[p]
+        below = jnp.where(can, pruned_root[p] | below[p], below)
+        return done | can, below
+
+    done0 = ~valid_f | is_root_slot
+    _, strict_below = jax.lax.while_loop(
+        sb_cond, sb_body, (done0, jnp.zeros((forest_cap,), bool))
+    )
+
     tc = top.node_count
-    f_extra = forest.node_count - g_cap  # non-root forest nodes
+    n_pairs = (forest_cap - g_cap) // 2
+    pair_ids = jnp.arange(n_pairs, dtype=jnp.int32)
+    pair_base = g_cap + 2 * pair_ids
+    pair_live = strict_below[jnp.clip(pair_base, 0, forest_cap - 1)] & (
+        pair_base < forest.node_count
+    )
+    pl_i = pair_live.astype(jnp.int32)
+    pair_rank = jnp.cumsum(pl_i, dtype=jnp.int32) - pl_i
+    live_pairs = jnp.sum(pl_i, dtype=jnp.int32)
 
-    bounds = jnp.zeros((final_cap, 2 * dim), dtype)
-    index = jnp.zeros((final_cap,), idx_dtype)
-    ids_top = jnp.arange(top_cap, dtype=jnp.int32)
-
-    # Remap of forest node slots to final slots: root g -> (top leaf),
-    # non-root i -> tc + (i - g_cap).
     def remap_forest_index(words):
+        """Child-pair base b (always >= g_cap, parity-aligned) moves to
+        tc + 2 * pair_rank[(b - g_cap) / 2]; leaves keep their global
+        prim positions."""
         first = Index.first_id(words).astype(jnp.int32)
         is_lf = Index.is_leaf(words)
-        new_first = jnp.where(is_lf, first, tc + (first - g_cap))
+        k = jnp.clip((first - g_cap) >> 1, 0, n_pairs - 1)
+        new_first = jnp.where(is_lf, first, tc + 2 * pair_rank[k])
         return jnp.where(
             is_lf, words, Index.make_inner(jnp.maximum(new_first, 0), idx_dtype)
         )
 
-    # Top-tree nodes: inner stay; leaves take the mini-root's content.
+    final_cap = top_cap + forest_cap  # static
+    bounds = jnp.zeros((final_cap, 2 * dim), dtype)
+    index = jnp.zeros((final_cap,), idx_dtype)
+    ids_top = jnp.arange(top_cap, dtype=jnp.int32)
+
+    # Top-tree nodes: inner stay; leaves take their splice root's content.
     top_is_leaf = Index.is_leaf(top.index) & (ids_top < tc)
     tl_first = Index.first_id(top.index).astype(jnp.int32)
-    tl_group = top.prim_ids[jnp.clip(tl_first, 0, g_cap - 1)].astype(jnp.int32)
-    tl_group = jnp.clip(tl_group, 0, g_cap - 1)
-    root_content_bounds = forest.bounds[tl_group]
-    root_content_index = remap_forest_index(forest.index[tl_group])
+    tl_slot = top.prim_ids[jnp.clip(tl_first, 0, g2_cap - 1)].astype(jnp.int32)
+    tl_root = proot_of[jnp.clip(tl_slot, 0, g2_cap - 1)]
+    tl_root = jnp.clip(tl_root, 0, forest_cap - 1)
+    root_content_bounds = forest.bounds[tl_root]
+    root_content_index = remap_forest_index(forest.index[tl_root])
     top_bounds = jnp.where(top_is_leaf[:, None], root_content_bounds, top.bounds)
     top_index = jnp.where(top_is_leaf, root_content_index, top.index)
     valid_top = ids_top < tc
     bounds = bounds.at[:top_cap].set(jnp.where(valid_top[:, None], top_bounds, 0))
     index = index.at[:top_cap].set(jnp.where(valid_top, top_index, 0))
 
-    # Forest non-root nodes, contiguously after the top tree.
-    ids_f = jnp.arange(forest_cap, dtype=jnp.int32)
-    is_nonroot = (ids_f >= g_cap) & (ids_f < forest.node_count)
-    dest = jnp.where(is_nonroot, tc + (ids_f - g_cap), final_cap)
+    # Live forest pairs, contiguously after the top tree.
+    node_pair = jnp.clip((ids_f - g_cap) >> 1, 0, n_pairs - 1)
+    node_live = (ids_f >= g_cap) & valid_f & strict_below
+    dest = jnp.where(
+        node_live, tc + 2 * node_pair_rank_of(pair_rank, node_pair) + ((ids_f - g_cap) & 1),
+        final_cap,
+    )
     bounds = bounds.at[dest].set(forest.bounds, mode="drop")
     index = index.at[dest].set(remap_forest_index(forest.index), mode="drop")
 
@@ -207,7 +305,11 @@ def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None
         bounds=bounds,
         index=index,
         prim_ids=forest.order.astype(idx_dtype),
-        node_count=tc + f_extra,
+        node_count=tc + 2 * live_pairs,
         prim_count=jnp.asarray(n, jnp.int32),
     )
     return bvh
+
+
+def node_pair_rank_of(pair_rank, node_pair):
+    return pair_rank[node_pair]

@@ -55,7 +55,7 @@ DEFAULT_BLOCK = 65536
 
 
 class TraversalStats(NamedTuple):
-    visited_nodes: jnp.ndarray  # [R] int32 — inner nodes slab-tested (pairs count 2)
+    visited_nodes: jnp.ndarray  # [R] int32 — child-pair visits (one per inner_fn call, test/benchmark.cpp:294-296)
     visited_leaves: jnp.ndarray  # [R] int32
 
 
@@ -294,7 +294,7 @@ def _traverse_block(
             best_u=best_u,
             best_v=best_v,
             best_pos=best_pos,
-            nodes_visited=s["nodes_visited"] + 2 * do_node.astype(jnp.int32),
+            nodes_visited=s["nodes_visited"] + do_node.astype(jnp.int32),
             leaves_visited=s["leaves_visited"] + enter_leaf.astype(jnp.int32),
         )
 
@@ -448,6 +448,28 @@ def make_tri_leaf_fn(bvh: Bvh, tri_flat, permuted: bool = False,
         tri = PrecomputedTri.from_flat(tri_flat[tri_idx])
         t, u, v, hit = tri.intersect(rays_now)
         return hit, t, u, v
+
+    return leaf_fn
+
+
+def make_sphere_leaf_fn(bvh: Bvh, centers, radii, permuted: bool = False):
+    """Leaf intersector over spheres (reference: sphere.h:31-49 via the
+    generic leaf-callback mechanism). Reports the entry distance t0 as
+    the hit t; u carries t0 and v carries t1."""
+    from bvh_tpu.geom.sphere import Sphere
+
+    m = centers.shape[0]
+    n_pos = bvh.prim_ids.shape[0]
+
+    def leaf_fn(prim_pos, rays_now):
+        pos = jnp.clip(prim_pos, 0, n_pos - 1)
+        if permuted:
+            idx = pos
+        else:
+            idx = jnp.clip(bvh.prim_ids[pos].astype(jnp.int32), 0, m - 1)
+        sph = Sphere(centers[idx], radii[idx])
+        t0, t1, hit = sph.intersect(rays_now)
+        return hit, t0, t0, t1
 
     return leaf_fn
 

@@ -105,3 +105,22 @@ def test_extract_bvh(cornell_tris):
     smn, smx = sub.root_bbox()
     np.testing.assert_array_equal(np.asarray(omn), np.asarray(smn))
     np.testing.assert_array_equal(np.asarray(omx), np.asarray(smx))
+
+
+def test_minitree_pruning_cuts_subtrees():
+    """With an aggressive pruning ratio, subtrees get cut and the top
+    tree grows more leaves than mini-trees; hits must be unaffected
+    (reference: prune_mini_trees, 207-247)."""
+    mn, mx, c = random_scene(2000, seed=21)
+    no_prune = build_minitree(mn, mx, c, MiniTreeConfig(enable_pruning=False,
+                                                        parallel_threshold=256))
+    pruned = build_minitree(
+        mn, mx, c,
+        MiniTreeConfig(enable_pruning=True, pruning_area_ratio=0.5,
+                       parallel_threshold=256),
+    )
+    check_bvh_invariants(pruned, 2000)
+    # aggressive ratio must change the topology (more or different cuts)
+    a = np.asarray(no_prune.index[: int(no_prune.node_count)])
+    b = np.asarray(pruned.index[: int(pruned.node_count)])
+    assert (len(a) != len(b)) or not np.array_equal(a, b)
