@@ -40,6 +40,21 @@ def load_scene():
 
 
 def main():
+    # The tunneled TPU occasionally drops a request mid-run
+    # (UNAVAILABLE / FailedPrecondition); retry a few times so a
+    # transient infra fault does not zero out the benchmark.
+    last = None
+    for attempt in range(3):
+        try:
+            return _run()
+        except Exception as e:  # noqa: BLE001 - backend errors vary
+            last = e
+            print(f"# attempt {attempt + 1} failed: {e}", file=sys.stderr)
+            time.sleep(20)
+    raise last
+
+
+def _run():
     import jax
     import jax.numpy as jnp
 
@@ -59,10 +74,32 @@ def main():
 
     rays = primary_rays([0, 1, 2], [0, 0, -1], [0, 1, 0], WIDTH, HEIGHT)
 
-    def render():
-        hit = intersect_tris(bvh, flat, rays, permuted=True)
-        hit.t.block_until_ready()
-        return hit
+    from bvh_tpu.traverse.pallas_kernel import (
+        PALLAS_MAX_NODES,
+        PALLAS_MAX_PRIMS,
+        pallas_intersect_tris,
+    )
+    from bvh_tpu.traverse.stack import required_stack_depth
+
+    use_pallas = (
+        jax.devices()[0].platform != "cpu"
+        and int(bvh.node_count) <= PALLAS_MAX_NODES
+        and flat.shape[0] <= PALLAS_MAX_PRIMS
+    )
+    if use_pallas:
+        depth = max(16, required_stack_depth(bvh))
+
+        def render():
+            hit = pallas_intersect_tris(
+                bvh, flat, rays, permuted=True, block=8192, stack_depth=depth
+            )
+            hit.t.block_until_ready()
+            return hit
+    else:
+        def render():
+            hit = intersect_tris(bvh, flat, rays, permuted=True)
+            hit.t.block_until_ready()
+            return hit
 
     hit = render()  # compile + warm-up
     n_hits = int(np.asarray(hit.hit).sum())

@@ -83,10 +83,20 @@ def _round_up(x: int, m: int) -> int:
 
 def _onehot_matmul(idx, table):
     """Gather rows of `table` by integer `idx` as a one-hot matmul on
-    the MXU. Out-of-range indices produce zero rows."""
+    the MXU. Out-of-range indices produce zero rows.
+
+    Precision MUST be HIGHEST: the TPU's default f32 matmul runs in
+    bf16 passes, which would round the gathered bounds (and corrupt any
+    integer payloads) — the one-hot gather is only a gather if the
+    product is exact.
+    """
     P = table.shape[0]
     oh = (idx[:, None] == jnp.arange(P, dtype=idx.dtype)[None, :]).astype(table.dtype)
-    return jnp.dot(oh, table, preferred_element_type=table.dtype)
+    return jnp.dot(
+        oh, table,
+        preferred_element_type=table.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _make_pair_gather(bvh: Bvh, mode: str):
@@ -102,27 +112,22 @@ def _make_pair_gather(bvh: Bvh, mode: str):
         k = jnp.arange(pairs)
         lc = jnp.clip(2 * k + 1, 0, cap - 1)
         rc = jnp.clip(2 * k + 2, 0, cap - 1)
-        # Index words are exact in f32 below 2^24; ONEHOT_MAX_NODES keeps
-        # them far under that.
-        rows = jnp.concatenate(
-            [
-                bvh.bounds[lc],
-                bvh.bounds[rc],
-                bvh.index[lc].astype(dtype)[:, None],
-                bvh.index[rc].astype(dtype)[:, None],
-            ],
-            axis=1,
-        )
-        table = jnp.zeros((P, 4 * dim + 2), dtype).at[:pairs].set(rows)
-        idx_dtype = bvh.index.dtype
+        rows = jnp.concatenate([bvh.bounds[lc], bvh.bounds[rc]], axis=1)
+        table = jnp.zeros((P, 4 * dim), dtype).at[:pairs].set(rows)
+        # Index words stay integers: a tiny paired take (2 words/ray)
+        # rather than a float matmul that could not carry them exactly.
+        word_table = jnp.stack([bvh.index[lc], bvh.index[rc]], axis=1)
+        word_table = jnp.zeros((P, 2), bvh.index.dtype).at[:pairs].set(word_table)
 
         def fetch(fid):
-            out = _onehot_matmul(fid >> 1, table)
+            pid = fid >> 1
+            out = _onehot_matmul(pid, table)
+            words = word_table[jnp.clip(pid, 0, P - 1)]
             return (
                 out[:, : 2 * dim],
                 out[:, 2 * dim : 4 * dim],
-                out[:, 4 * dim].astype(idx_dtype),
-                out[:, 4 * dim + 1].astype(idx_dtype),
+                words[:, 0],
+                words[:, 1],
             )
 
         return fetch
@@ -145,9 +150,11 @@ def _slab_test(row, org, inv_dir, inv_org, inv_dir_pad, octant, tmin, tmax, robu
     """
     dim = org.shape[-1]
     pairs = row.reshape(*row.shape[:-1], dim, 2)
-    oct_e = octant[..., None]
-    near_b = jnp.take_along_axis(pairs, oct_e, axis=-1)[..., 0]
-    far_b = jnp.take_along_axis(pairs, 1 - oct_e, axis=-1)[..., 0]
+    neg = octant == 1
+    # Select per-axis near/far planes with elementwise where (no dynamic
+    # per-lane indexing: fuses on the VPU and works inside Pallas).
+    near_b = jnp.where(neg, pairs[..., 1], pairs[..., 0])
+    far_b = jnp.where(neg, pairs[..., 0], pairs[..., 1])
     if robust:
         t_near = (near_b - org) * inv_dir
         t_far = (far_b - org) * inv_dir_pad
@@ -262,10 +269,14 @@ def _traverse_block(
         new_top = jnp.where(both, near, jnp.where(one_l, idx_l, idx_r))
         descend = do_node & (both | one_l | one_r)
 
-        # push far child when both children hit
+        # Push the far child when both children hit. The stack columns
+        # are addressed with one-hot masks instead of scatters/gathers:
+        # [R, depth] elementwise selects fuse into the iteration's VPU
+        # bundle, where a scatter would be its own (slow) kernel.
         push = do_node & both
-        col = jnp.where(push, s["sp"], stack_depth)  # drop when not pushing
-        stack = s["stack"].at[rows, col].set(far, mode="drop")
+        lanes = jnp.arange(stack_depth, dtype=jnp.int32)[None, :]
+        push_col = (lanes == s["sp"][:, None]) & push[:, None]
+        stack = jnp.where(push_col, far[:, None], s["stack"])
         sp = jnp.where(push, s["sp"] + 1, s["sp"])
 
         # ---------- enter leaf / pop ---------------------------------
@@ -277,7 +288,8 @@ def _traverse_block(
         need_pop = (do_node & none) | leaf_exhausted
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = stack[rows, jnp.clip(sp, 0, stack_depth - 1)]
+        pop_col = lanes == sp[:, None]
+        popped = jnp.max(jnp.where(pop_col, stack, 0), axis=1)
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
 
         active = active & ~done_by_hit & ~(need_pop & ~can_pop)

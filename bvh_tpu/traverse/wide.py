@@ -267,15 +267,17 @@ def _traverse_wide_block(wbvh: WideBvh, rays: Ray, leaf_fn, any_hit, robust,
         n_hits8 = jnp.sum(hits8.astype(jnp.int32), axis=1)
 
         # Descend into the nearest child; push the rest in far-to-near
-        # order so the nearest pops first.
+        # order so the nearest pops first. Stack columns are addressed
+        # with one-hot masks (fusible VPU selects, not scatters).
         descend = do_node & (n_hits8 > 0)
         new_top = ord_words[:, 0]
         sp = s["sp"]
         stack = s["stack"]
+        lanes = jnp.arange(stack_depth, dtype=jnp.int32)[None, :]
         for j in range(WIDTH - 1, 0, -1):
             push_j = do_node & (n_hits8 > j)
-            col = jnp.where(push_j, sp, stack_depth)
-            stack = stack.at[rows_i, col].set(ord_words[:, j], mode="drop")
+            col = (lanes == sp[:, None]) & push_j[:, None]
+            stack = jnp.where(col, ord_words[:, j][:, None], stack)
             sp = jnp.where(push_j, sp + 1, sp)
 
         leaf_first = Index.first_id(top).astype(jnp.int32)
@@ -286,7 +288,7 @@ def _traverse_wide_block(wbvh: WideBvh, rays: Ray, leaf_fn, any_hit, robust,
         need_pop = (do_node & (n_hits8 == 0)) | leaf_exhausted
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = stack[rows_i, jnp.clip(sp, 0, stack_depth - 1)]
+        popped = jnp.max(jnp.where(lanes == sp[:, None], stack, 0), axis=1)
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~done_by_hit & ~(need_pop & ~can_pop)
 

@@ -58,3 +58,15 @@ def test_leaf_of_position(cornell_tris):
         if count:
             first = index[i] >> 4
             assert np.all(owner[first: first + count] == i)
+
+
+def test_required_stack_depth(cornell_tris):
+    from bvh_tpu.traverse.stack import max_depth, required_stack_depth
+    from helpers import scene_arrays
+    from bvh_tpu.build.binned import build_binned
+
+    mn, mx, centers, _ = scene_arrays(cornell_tris)
+    bvh = build_binned(mn, mx, centers)
+    h = int(max_depth(bvh))
+    assert 2 <= h < 20
+    assert required_stack_depth(bvh) >= h + 1

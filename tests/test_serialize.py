@@ -43,3 +43,27 @@ def test_golden_bounds_sane(golden_dir):
     # Cornell box fits in roughly [-1.02, 0]..[1.02, 2] range.
     assert np.all(np.asarray(mn) >= -1.2)
     assert np.all(np.asarray(mx) <= 2.2)
+
+
+def test_golden_double_roundtrip_bit_exact(golden_dir):
+    """float64 BVH written by the reference (uint64 index words) must
+    round-trip byte-exact (node.h:21, bvh.h:84-88)."""
+    import numpy as np
+
+    path = os.path.join(golden_dir, "cornell_sweep_d.bvh")
+    raw = open(path, "rb").read()
+    bvh = load_bvh(path, dim=3, scalar_dtype=np.float64)
+    assert int(bvh.node_count) == 37
+    assert serialize_to_bytes(bvh) == raw
+
+
+def test_golden_2d_roundtrip_bit_exact(golden_dir):
+    """2D float BVH interop (dimension-parametric layout)."""
+    import numpy as np
+
+    path = os.path.join(golden_dir, "cornell_sweep_2d.bvh")
+    raw = open(path, "rb").read()
+    bvh = load_bvh(path, dim=2, scalar_dtype=np.float32)
+    assert int(bvh.node_count) == 21
+    assert bvh.dim == 2
+    assert serialize_to_bytes(bvh) == raw
