@@ -112,6 +112,15 @@ def morton_encode(coords, dim: int | None = None):
     return out
 
 
+def scatter_max(target, indices, values):
+    """Elementwise maximum-scatter: the functional counterpart of the
+    reference's `atomic_max` (reference: utils.h:124-129; unused there,
+    provided here for parity). Returns target with
+    `target[i] = max(target[i], v)` over all (i, v) pairs — the XLA
+    scatter combines duplicates, which is what the CAS loop guarantees."""
+    return jnp.asarray(target).at[indices].max(values, mode="drop")
+
+
 def round_up_log2(i: int) -> int:
     """Ceil(log2(i)) for Python ints (reference: utils.h:96-99)."""
     p = 0

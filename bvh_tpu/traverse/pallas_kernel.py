@@ -9,9 +9,10 @@ This kernel runs the ENTIRE traversal loop on-chip in one launch:
   path or the wide layout);
 - node/triangle fetches are one-hot MXU matmuls at
   `Precision.HIGHEST`, which Mosaic executes exactly on f32 (verified
-  on hardware: zero-ULP gathers), so the matmul IS a gather; packed
-  index words ride along as f32 columns (exact below 2^24, enforced by
-  PALLAS_MAX_NODES);
+  on hardware: zero-ULP gathers; bf16 multi-plane splits were tried and
+  are NOT exact under Mosaic, nor faster — the kernel is VPU-bound);
+  packed index words ride along as f32 columns (exact below 2^24,
+  enforced by PALLAS_MAX_NODES);
 - the per-ray short stack is addressed with one-hot masks (no dynamic
   per-lane indexing, which Mosaic cannot vectorize);
 - rays live in the LANE dimension: all per-ray state is [k, B]-shaped
@@ -45,10 +46,10 @@ def _round_up(x, m):
 
 
 def _make_tables(bvh: Bvh, tri_flat, permuted: bool):
-    """Transposed VMEM tables: node_t [24, P] and tri_t [16, M].
+    """Transposed f32 VMEM tables: node_t [16, P] and tri_t [16, M].
 
-    node_t rows: bounds_l (2*dim), bounds_r (2*dim), word_l, word_r
-    (index words as f32, exact below 2^24). tri_t rows: p0|e1|e2|n.
+    node rows: bounds_l (2*dim), bounds_r (2*dim), word_l, word_r
+    (index words as f32, exact below 2^24). tri rows: p0|e1|e2|n.
     """
     cap = bvh.index.shape[0]
     dim = bvh.dim
@@ -67,7 +68,7 @@ def _make_tables(bvh: Bvh, tri_flat, permuted: bool):
         axis=1,
     )  # [p, 4*dim+2]
     C = rows.shape[1]
-    node_t = jnp.zeros((24, P), jnp.float32).at[:C, :pairs].set(rows.T)
+    node_t = jnp.zeros((16, P), jnp.float32).at[:C, :pairs].set(rows.T)
 
     m = tri_flat.shape[0]
     n_pos = bvh.prim_ids.shape[0]
@@ -117,7 +118,11 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
     tri_table = tri_ref[:, :]
 
     def onehot_fetch(idx, table):
-        """idx [1, B] int32 -> [C, B] exact gather via table @ one-hot."""
+        """idx [1, B] int32 -> [C, B] exact gather.
+
+        Precision.HIGHEST makes the f32 matmul exact on the MXU
+        (verified zero-ULP on hardware); the matmul IS a gather.
+        """
         iota = jax.lax.broadcasted_iota(i32, (table.shape[1], B), 0)
         oh = (iota == idx).astype(f32)
         return jax.lax.dot_general(

@@ -97,3 +97,11 @@ def test_node_capacity():
     assert node_capacity_for(1) == 1
     assert node_capacity_for(2) == 3
     assert node_capacity_for(36) == 71
+
+
+def test_scatter_max():
+    from bvh_tpu.core.utils import scatter_max
+
+    target = jnp.asarray([1.0, 5.0, 2.0])
+    out = scatter_max(target, jnp.asarray([0, 0, 2]), jnp.asarray([3.0, 2.0, 1.0]))
+    assert list(np.asarray(out)) == [3.0, 5.0, 2.0]
