@@ -85,7 +85,7 @@ def _make_tables(bvh: Bvh, tri_flat, permuted: bool):
 
 def _kernel(node_ref, tri_ref, ray_ref, root_ref,
             fout_ref, iout_ref,
-            *, dim, any_hit, robust, stack_depth):
+            *, dim, any_hit, robust, stack_depth, unroll):
     B = ray_ref.shape[1]
     P = node_ref.shape[1]
     M = tri_ref.shape[1]
@@ -255,7 +255,16 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
         return (stack, sp, top, leaf_cur, leaf_rem, active.astype(i32), tmax,
                 best_t, best_u, best_v, best_pos, nstat, lstat)
 
-    out = jax.lax.while_loop(cond, body, state)
+    # Unroll the state machine inside the while body: a step is a no-op
+    # for inactive lanes, so chaining steps is semantically free and
+    # amortizes the loop's per-iteration overhead (cond evaluation,
+    # carry handling).
+    def body_unrolled(s):
+        for _ in range(unroll):
+            s = body(s)
+        return s
+
+    out = jax.lax.while_loop(cond, body_unrolled, state)
     (_, _, _, _, _, _, _, best_t, best_u, best_v, best_pos, nstat, lstat) = out
     zf = jnp.zeros((1, B), f32)
     fout_ref[:, :] = jnp.concatenate(
@@ -268,7 +277,7 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "robust", "stack_depth",
-                                   "permuted", "block", "interpret"))
+                                   "permuted", "block", "interpret", "unroll"))
 def pallas_intersect_tris(
     bvh: Bvh,
     tri_flat,
@@ -280,6 +289,7 @@ def pallas_intersect_tris(
     permuted: bool = False,
     block: int = 8192,
     interpret: bool = False,
+    unroll: int = 1,  # measured: unrolling does not help (loop overhead is negligible)
 ) -> Hit:
     """Triangle closest/any-hit via the single-launch Pallas kernel.
 
@@ -323,7 +333,7 @@ def pallas_intersect_tris(
     )
     kernel = partial(
         _kernel, dim=dim, any_hit=any_hit, robust=robust,
-        stack_depth=stack_depth,
+        stack_depth=stack_depth, unroll=unroll,
     )
     fout, iout = pl.pallas_call(
         kernel,
