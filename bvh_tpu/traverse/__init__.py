@@ -4,7 +4,13 @@ from bvh_tpu.traverse.wavefront import (
     intersect_tris,
     traverse,
     make_tri_leaf_fn,
+    make_sphere_leaf_fn,
 )
+from bvh_tpu.traverse.refit import refit, compute_parents, leaf_of_position
+from bvh_tpu.traverse.stack import required_stack_depth, max_depth
+from bvh_tpu.traverse.wide import WideBvh, widen, traverse_wide, intersect_tris_wide
+from bvh_tpu.traverse.pallas_kernel import pallas_intersect_tris
+from bvh_tpu.traverse.treelet import Treelets, build_treelets, treelet_intersect_tris
 
 __all__ = [
     "Hit",
@@ -12,4 +18,18 @@ __all__ = [
     "intersect_tris",
     "traverse",
     "make_tri_leaf_fn",
+    "make_sphere_leaf_fn",
+    "refit",
+    "compute_parents",
+    "leaf_of_position",
+    "required_stack_depth",
+    "max_depth",
+    "WideBvh",
+    "widen",
+    "traverse_wide",
+    "intersect_tris_wide",
+    "pallas_intersect_tris",
+    "Treelets",
+    "build_treelets",
+    "treelet_intersect_tris",
 ]
