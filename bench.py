@@ -114,6 +114,43 @@ def _run():
     median_s = times[len(times) // 2]
     mrays = WIDTH * HEIGHT / median_s / 1e6
 
+    # Secondary metric (stderr): shadow rays from the primary hit points
+    # to a point light — the any-hit/SATO path (BASELINE.md's
+    # "primary + shadow" configuration).
+    try:
+        from bvh_tpu.core.ray import Ray
+
+        light = jnp.asarray([0.0, 1.9, 0.0], jnp.float32)
+        hitp = rays.org + rays.dir * hit.t[:, None]
+        origin = jnp.where(hit.hit[:, None], hitp, rays.org)
+        to_light = light[None, :] - origin
+        srays = Ray.make(origin, to_light,
+                         tmin=1e-4, tmax=jnp.ones_like(hit.t))
+        if use_pallas:
+            def shadow():
+                h = pallas_intersect_tris(
+                    bvh, flat, srays, permuted=True, any_hit=True,
+                    block=8192, stack_depth=depth)
+                h.t.block_until_ready()
+                return h
+        else:
+            def shadow():
+                h = intersect_tris(bvh, flat, srays, permuted=True,
+                                   any_hit=True)
+                h.t.block_until_ready()
+                return h
+        shadow()
+        stimes = []
+        for _ in range(3):
+            start = time.perf_counter()
+            shadow()
+            stimes.append(time.perf_counter() - start)
+        s_mrays = WIDTH * HEIGHT / sorted(stimes)[1] / 1e6
+        print(f"# shadow (any-hit) rays: {s_mrays:.2f} Mrays/s",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# shadow metric skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "primary_rays_cornell_1024",
         "value": round(mrays, 2),

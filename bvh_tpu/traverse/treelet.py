@@ -71,6 +71,8 @@ def _round_up(x, m):
 
 def build_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
                    max_nodes: int = 1024) -> Treelets:
+    # max_nodes=1024 with block=512 measured fastest on hardware
+    # (PERFORMANCE.md).
     """Cut `bvh` into treelets of at most `max_nodes` nodes and pack
     the kernel tables (host-side numpy)."""
     nc = int(bvh.node_count)
@@ -587,6 +589,19 @@ def _treelet_kernel(tid_ref, node_ref, tri_ref, ray_ref, root_ref, state_ref,
     )
 
 
+@jax.jit
+def _pending_portals(ptent, ptid, cursor):
+    """Per-ray (entry t, treelet id) of the portal at `cursor`
+    (inf / 0 when exhausted). Runs on device so the big portal lists
+    never leave HBM."""
+    R = ptent.shape[1]
+    cols = jnp.arange(R)
+    cur = jnp.clip(cursor, 0, MAX_PORTALS - 1)
+    t = jnp.where(cursor < MAX_PORTALS, ptent[cur, cols], jnp.inf)
+    tid = jnp.where(cursor < MAX_PORTALS, ptid[cur, cols], 0)
+    return t, tid
+
+
 @partial(jax.jit, static_argnames=("block", "any_hit", "robust",
                                    "stack_depth", "interpret"))
 def _phase_b_jit(btid, node_t, tri_t, brays, broot, bstate,
@@ -629,8 +644,8 @@ def treelet_intersect_tris(
     *,
     any_hit: bool = False,
     robust: bool = False,
-    stack_depth: int = 24,
-    block: int = 2048,
+    stack_depth: int = 32,
+    block: int = 512,
     top_block: int = 8192,
     max_rounds: int = 64,
     interpret: bool = False,
@@ -654,8 +669,6 @@ def treelet_intersect_tris(
     ptid = jnp.take_along_axis(ptid, order, axis=0)
 
     cursor = np.zeros(R, np.int64)
-    ptid_h = np.asarray(ptid)
-    ptent_h = np.asarray(ptent)
     tmax = np.asarray(rays.tmax).copy()
     best_t = np.full(R, np.inf, np.float32)
     best_pos = np.full(R, -1, np.int32)
@@ -669,21 +682,22 @@ def treelet_intersect_tris(
 
     for round_i in range(max_rounds):
         _t0 = _time.time()
-        # next pending portal per ray with entry < current tmax
-        # (any-hit: stop as soon as a hit exists).
+        # next pending portal per ray with entry < current tmax,
+        # selected ON DEVICE — only the compact per-round arrays (the
+        # ready mask and treelet ids) travel to the host, not the
+        # [MAX_PORTALS, R] portal lists.
         if any_hit:
             live = best_pos < 0
         else:
             live = np.ones(R, bool)
-        pend_t = np.where(
-            cursor < MAX_PORTALS, ptent_h[np.minimum(cursor, MAX_PORTALS - 1),
-                                          np.arange(R)], np.inf
-        )
+        pend_t_d, pend_tid_d = _pending_portals(
+            ptent, ptid, jnp.asarray(cursor.astype(np.int32)))
+        pend_t = np.asarray(pend_t_d)
         ready = live & (pend_t <= tmax)
         if not ready.any():
             break
         ridx = np.nonzero(ready)[0]
-        tids = ptid_h[cursor[ridx], ridx]
+        tids = np.asarray(pend_tid_d)[ridx]
         # group rays by treelet into fixed-size blocks
         sort = np.argsort(tids, kind="stable")
         ridx = ridx[sort]
