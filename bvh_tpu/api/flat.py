@@ -32,7 +32,7 @@ import numpy as np
 
 from bvh_tpu.build.default import DefaultConfig, Quality, build_default
 from bvh_tpu.build.reinsertion import ReinsertionConfig, optimize_reinsertion
-from bvh_tpu.build.sah import SplitHeuristic, TopDownConfig
+from bvh_tpu.build.sah import SplitHeuristic
 from bvh_tpu.core.ray import Ray
 from bvh_tpu.core.types import Bvh, Index, make_node_bounds_row
 # NB: bvh_tpu.io re-exports the `serialize` *function*, shadowing the

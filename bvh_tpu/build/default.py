@@ -24,7 +24,7 @@ import enum
 from bvh_tpu.build.binned import build_binned
 from bvh_tpu.build.minitree import MiniTreeConfig, build_minitree
 from bvh_tpu.build.reinsertion import ReinsertionConfig, optimize_reinsertion
-from bvh_tpu.build.sah import SplitHeuristic, TopDownConfig
+from bvh_tpu.build.sah import TopDownConfig
 from bvh_tpu.build.sweep import build_sweep
 from bvh_tpu.core.types import Bvh
 

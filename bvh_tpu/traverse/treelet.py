@@ -71,10 +71,9 @@ def _round_up(x, m):
 
 def build_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
                    max_nodes: int = 1024) -> Treelets:
-    # max_nodes=1024 with block=512 measured fastest on hardware
-    # (PERFORMANCE.md).
     """Cut `bvh` into treelets of at most `max_nodes` nodes and pack
-    the kernel tables (host-side numpy)."""
+    the kernel tables (host-side numpy). max_nodes=1024 with block=512
+    measured fastest on hardware (PERFORMANCE.md)."""
     nc = int(bvh.node_count)
     dim = bvh.dim
     assert dim == 3
