@@ -114,8 +114,12 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
     inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
     neg = jnp.signbit(dir_)
 
-    node_table = node_ref[:, :]
-    tri_table = tri_ref[:, :]
+    # One combined table: node pair columns then triangle columns.
+    # Each lane is in exactly one phase per iteration, so a single
+    # fetched [16, B] row serves as EITHER a node pair or a triangle —
+    # one one-hot + one dot per iteration instead of two of each.
+    table = jnp.concatenate([node_ref[:, :], tri_ref[:, :]], axis=1)
+    tri_base = node_ref.shape[1]
 
     def onehot_fetch(idx, table):
         """idx [1, B] int32 -> [C, B] exact gather.
@@ -176,8 +180,13 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
         active = active_i > 0
         in_leaf = active & (leaf_rem > 0)
 
+        # ---- combined fetch (node pair or triangle, per lane) --------
+        fid = top >> 4
+        fetch_idx = jnp.where(in_leaf, tri_base + leaf_cur, fid >> 1)
+        row = onehot_fetch(fetch_idx, table)
+
         # ---- leaf step: Möller–Trumbore on one prim ------------------
-        tri = onehot_fetch(leaf_cur, tri_table)
+        tri = row
         p0, e1, e2, nrm = tri[0:3], tri[3:6], tri[6:9], tri[9:12]
         cvec = p0 - org
         rvec = jnp.concatenate(
@@ -214,8 +223,7 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
         enter_leaf = in_inner & top_is_leaf
         do_node = in_inner & ~top_is_leaf
 
-        fid = top >> 4
-        nrow = onehot_fetch(fid >> 1, node_table)
+        nrow = row
         row_l = nrow[: 2 * dim]
         row_r = nrow[2 * dim : 4 * dim]
         base = 4 * dim
