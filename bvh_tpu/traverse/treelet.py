@@ -645,7 +645,7 @@ def treelet_intersect_tris(
     robust: bool = False,
     stack_depth: int = 32,
     block: int = 512,
-    top_block: int = 8192,
+    top_block: int = 1024,  # larger blocks exhaust VMEM in the collect kernel
     max_rounds: int = 64,
     interpret: bool = False,
     verbose: bool = False,
