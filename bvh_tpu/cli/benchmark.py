@@ -111,14 +111,43 @@ def main(argv=None):
 
     rays = primary_rays(args.eye, args.dir, args.up, args.width, args.height)
 
-    def do_render():
-        hit = intersect_tris(
-            bvh, flat, rays,
-            robust=args.robust_traversal,
-            permuted=args.permute_prims,
-        )
-        hit.t.block_until_ready()
-        return hit
+    # On an accelerator, VMEM-scale scenes take the single-launch Pallas
+    # kernel (PERFORMANCE.md); everything else uses the XLA wavefront.
+    import jax
+
+    from bvh_tpu.traverse.pallas_kernel import (
+        PALLAS_MAX_NODES,
+        PALLAS_MAX_PRIMS,
+        pallas_intersect_tris,
+    )
+    from bvh_tpu.traverse.stack import required_stack_depth
+
+    use_pallas = (
+        jax.devices()[0].platform != "cpu"
+        and int(bvh.node_count) <= PALLAS_MAX_NODES
+        and flat.shape[0] <= PALLAS_MAX_PRIMS
+    )
+    if use_pallas:
+        depth = max(16, required_stack_depth(bvh))
+
+        def do_render():
+            hit = pallas_intersect_tris(
+                bvh, flat, rays,
+                robust=args.robust_traversal,
+                permuted=args.permute_prims,
+                block=8192, stack_depth=depth,
+            )
+            hit.t.block_until_ready()
+            return hit
+    else:
+        def do_render():
+            hit = intersect_tris(
+                bvh, flat, rays,
+                robust=args.robust_traversal,
+                permuted=args.permute_prims,
+            )
+            hit.t.block_until_ready()
+            return hit
 
     hit, render_s = profile(do_render)
     n_hits = int(np.asarray(hit.hit).sum())
