@@ -34,6 +34,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     """1-D device mesh over the first `n_devices` devices."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh: need {n_devices} devices, only {len(devs)} "
+                f"available ({devs[0].platform}); force a virtual CPU mesh "
+                f"with XLA_FLAGS=--xla_force_host_platform_device_count"
+            )
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
