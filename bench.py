@@ -74,18 +74,10 @@ def _run():
 
     rays = primary_rays([0, 1, 2], [0, 0, -1], [0, 1, 0], WIDTH, HEIGHT)
 
-    from bvh_tpu.traverse.pallas_kernel import (
-        PALLAS_MAX_NODES,
-        PALLAS_MAX_PRIMS,
-        pallas_intersect_tris,
-    )
+    from bvh_tpu.traverse.pallas_kernel import pallas_fits, pallas_intersect_tris
     from bvh_tpu.traverse.stack import required_stack_depth
 
-    use_pallas = (
-        jax.devices()[0].platform != "cpu"
-        and int(bvh.node_count) <= PALLAS_MAX_NODES
-        and flat.shape[0] <= PALLAS_MAX_PRIMS
-    )
+    use_pallas = jax.devices()[0].platform != "cpu" and pallas_fits(bvh, flat)
     if use_pallas:
         depth = max(16, required_stack_depth(bvh))
 

@@ -115,27 +115,16 @@ def main(argv=None):
     # kernel (PERFORMANCE.md); everything else uses the XLA wavefront.
     import jax
 
-    from bvh_tpu.traverse.pallas_kernel import (
-        PALLAS_MAX_NODES,
-        PALLAS_MAX_PRIMS,
-        pallas_intersect_tris,
-    )
-    from bvh_tpu.traverse.stack import required_stack_depth
+    from bvh_tpu.traverse.pallas_kernel import pallas_fits, pallas_intersect_tris
 
-    use_pallas = (
-        jax.devices()[0].platform != "cpu"
-        and int(bvh.node_count) <= PALLAS_MAX_NODES
-        and flat.shape[0] <= PALLAS_MAX_PRIMS
-    )
+    use_pallas = jax.devices()[0].platform != "cpu" and pallas_fits(bvh, flat)
     if use_pallas:
-        depth = max(16, required_stack_depth(bvh))
-
         def do_render():
             hit = pallas_intersect_tris(
                 bvh, flat, rays,
                 robust=args.robust_traversal,
                 permuted=args.permute_prims,
-                block=8192, stack_depth=depth,
+                block=8192,
             )
             hit.t.block_until_ready()
             return hit

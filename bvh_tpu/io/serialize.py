@@ -60,6 +60,19 @@ def serialize(bvh: Bvh, stream) -> None:
     stream.write(prim_ids.tobytes())
 
 
+def _read_exact(stream, n: int, what: str) -> bytes:
+    """Read exactly n bytes or raise EOFError (the reference's streams
+    report short reads via a byte count, stream.h:12-18; here a
+    truncated checkpoint is a hard, descriptive error)."""
+    data = stream.read(n)
+    if len(data) != n:
+        raise EOFError(
+            f"truncated BVH stream: expected {n} bytes for {what}, "
+            f"got {len(data)}"
+        )
+    return data
+
+
 def deserialize(stream, dim: int = 3, scalar_dtype=np.float32) -> Bvh:
     """Read a BVH from a binary stream (reference: bvh.h:231-242).
 
@@ -70,15 +83,19 @@ def deserialize(stream, dim: int = 3, scalar_dtype=np.float32) -> Bvh:
     index_t = np.dtype(index_dtype_for(scalar))
     isz = index_t.itemsize
 
-    header = np.frombuffer(stream.read(2 * isz), index_t)
+    header = np.frombuffer(_read_exact(stream, 2 * isz, "header"), index_t)
     node_count, prim_count = int(header[0]), int(header[1])
 
     two_dim = 2 * dim
     rec = np.dtype(
         [("bounds", scalar, (two_dim,)), ("index", index_t)], align=False
     )
-    packed = np.frombuffer(stream.read(rec.itemsize * node_count), rec)
-    prim_ids = np.frombuffer(stream.read(isz * prim_count), index_t)
+    packed = np.frombuffer(
+        _read_exact(stream, rec.itemsize * node_count, "nodes"), rec
+    )
+    prim_ids = np.frombuffer(
+        _read_exact(stream, isz * prim_count, "prim ids"), index_t
+    )
 
     return Bvh(
         bounds=jnp.asarray(packed["bounds"]),

@@ -243,11 +243,14 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
         new_top = jnp.where(both, near, jnp.where(one_l, idx_l, idx_r))
         descend = do_node & ~none
 
+        # A push at sp == stack_depth is dropped (the far subtree is
+        # skipped, never corrupting later pops); callers default to the
+        # exact required_stack_depth so this cannot trigger in practice.
         push = do_node & both
         lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
         push_row = (lanes == sp) & push
         stack = jnp.where(push_row, far, stack)
-        sp = jnp.where(push, sp + 1, sp)
+        sp = jnp.where(push, jnp.minimum(sp + 1, stack_depth), sp)
 
         leaf_cur = jnp.where(enter_leaf, fid, leaf_cur)
         leaf_rem = jnp.where(enter_leaf, top_count, leaf_rem)
@@ -284,8 +287,21 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
     )
 
 
-@partial(jax.jit, static_argnames=("any_hit", "robust", "stack_depth",
-                                   "permuted", "block", "interpret", "unroll"))
+def pallas_fits(bvh: Bvh, tri_flat) -> bool:
+    """Whether the single-launch kernel can take this scene.
+
+    Gates on the STATIC allocated capacities the kernel asserts on
+    (bvh.index.shape[0] can exceed node_count for mini-tree builds), so
+    a True here never turns into a kernel assert."""
+    return (
+        bvh.dim == 3
+        and bvh.bounds.dtype == jnp.float32
+        and bvh.index.shape[0] <= PALLAS_MAX_NODES
+        and tri_flat.shape[0] <= PALLAS_MAX_PRIMS
+        and bvh.prim_ids.shape[0] <= PALLAS_MAX_PRIMS
+    )
+
+
 def pallas_intersect_tris(
     bvh: Bvh,
     tri_flat,
@@ -293,7 +309,7 @@ def pallas_intersect_tris(
     *,
     any_hit: bool = False,
     robust: bool = False,
-    stack_depth: int = 32,
+    stack_depth: int | None = None,
     permuted: bool = False,
     block: int = 8192,
     interpret: bool = False,
@@ -303,8 +319,35 @@ def pallas_intersect_tris(
 
     Requires node count <= PALLAS_MAX_NODES and prim count <=
     PALLAS_MAX_PRIMS (VMEM residency); callers fall back to
-    `intersect_tris` beyond that.
+    `intersect_tris` beyond that. `stack_depth=None` sizes the per-ray
+    stack exactly for this tree (one host-side depth computation).
     """
+    if stack_depth is None:
+        from bvh_tpu.traverse.stack import required_stack_depth
+
+        stack_depth = max(16, required_stack_depth(bvh))
+    return _pallas_intersect_tris(
+        bvh, tri_flat, rays,
+        any_hit=any_hit, robust=robust, stack_depth=stack_depth,
+        permuted=permuted, block=block, interpret=interpret, unroll=unroll,
+    )
+
+
+@partial(jax.jit, static_argnames=("any_hit", "robust", "stack_depth",
+                                   "permuted", "block", "interpret", "unroll"))
+def _pallas_intersect_tris(
+    bvh: Bvh,
+    tri_flat,
+    rays: Ray,
+    *,
+    any_hit: bool,
+    robust: bool,
+    stack_depth: int,
+    permuted: bool,
+    block: int,
+    interpret: bool,
+    unroll: int,
+) -> Hit:
     cap = bvh.index.shape[0]
     dim = bvh.dim
     assert dim == 3, "pallas kernel is specialized for 3D triangles"

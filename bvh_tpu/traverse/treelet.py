@@ -662,6 +662,16 @@ def treelet_intersect_tris(
     ptid, ptent, pcnt = _collect_portals(
         tl, rays, robust, stack_depth, top_block, interpret
     )
+    # pcnt counts every recordable portal even past the list capacity,
+    # so overflow (silently dropped portals = missed intersections) is
+    # detectable exactly. Fail loudly rather than return wrong hits.
+    max_cnt = int(jnp.max(pcnt))
+    if max_cnt > MAX_PORTALS:
+        raise ValueError(
+            f"portal list overflow: a ray entered {max_cnt} treelet boxes "
+            f"(capacity {MAX_PORTALS}); rebuild treelets with a larger "
+            f"max_nodes so the top region is shallower"
+        )
     # sort each ray's portals by entry t (ascending; empties at inf).
     order = jnp.argsort(ptent, axis=0)
     ptent = jnp.take_along_axis(ptent, order, axis=0)

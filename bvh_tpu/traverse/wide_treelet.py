@@ -1,0 +1,876 @@
+"""Wide (8-ary) treelet traversal — the large-scene fast path.
+
+Round-2 redesign of the two-phase treelet scheme (treelet.py), built
+around two hardware facts measured on this TPU (tools/probe_tpu.py):
+
+- a synced host<->device roundtrip costs ~35 ms (tunnel latency), so
+  the WHOLE render — phase A, portal sort, and every phase-B round —
+  runs inside ONE jitted call (`lax.while_loop` over rounds, with the
+  Pallas kernels inside the loop body);
+- the marginal cost of a kernel while-iteration is ~1-3 us and scales
+  with (table columns x block width), so nodes are 8-wide with 4-prim
+  quad leaves: ~3x fewer iterations per treelet visit than the binary
+  kernel, amortizing the one-hot fetch over 8 slab tests / 4 triangle
+  tests.
+
+Scheme (semantics match Bvh::intersect, reference: bvh.h:124-182):
+
+- Preprocessing (`build_wide_treelets`, vectorized numpy — no
+  per-node Python loops, San-Miguel-scale friendly): the binary tree
+  is cut at subtrees of <= max_prims primitives (treelets); the top
+  region becomes a binary pair table for the phase-A collect kernel;
+  each treelet is collapsed into 8-wide nodes (greedy largest-area
+  expansion, as `widen()` does) with leaves packed into quad columns
+  of 4 triangles, all in ONE combined [64, P] table per treelet.
+- Phase A: the existing collect kernel (treelet.py) records every
+  portal (treelet entry distance) per ray.
+- Phase B: rounds inside `lax.while_loop`. Round k processes portal k
+  of every ray (portals are pre-sorted ascending by entry distance, so
+  a ray whose portal k lies beyond its current tmax is finished —
+  entry distances only grow and tmax only shrinks). Rays sort by the
+  round's treelet id; fixed-size blocks then each stream exactly one
+  treelet table (PrefetchScalarGridSpec), traverse it 8-wide, and
+  results merge back by a payload sort.
+
+Closest-hit results are exact (same slab/Moller-Trumbore arithmetic
+and tmax-shrink semantics as the binary kernels); among exactly-tied
+primitives the winner may differ (the 8-way sorting network is not
+stable), matching the documented one-tie tolerance of the test suite.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bvh_tpu.core.ray import Ray
+from bvh_tpu.core.types import Bvh
+from bvh_tpu.traverse.wavefront import Hit, TraversalStats
+
+WIDTH = 8
+QUAD = 4  # prims per leaf column
+ROWS = 64  # combined table rows: 8*6 bounds + 8 words | 4*13 tri rows
+
+
+class WideTreelets(NamedTuple):
+    """Preprocessed two-level wide scene.
+
+    top_node_t: [16, Pt]     binary pair table of the top region
+                             (phase-A collect kernel format); top
+                             leaves are portal words (tid << 4 | 1).
+    top_root:   int          top root word (static).
+    table:      [T, 64, P]   per-treelet combined tables: columns
+                             [0, Wn) are wide nodes (rows 0-47 child
+                             bounds, 48-55 child words-as-f32), columns
+                             [Wn, Wn+Q) are quad leaves (rows
+                             q*13..q*13+11 triangle, q*13+12 GLOBAL
+                             prim position, -1 padding).
+    n_prims:    int          total primitive positions (static).
+    n_wide:     np.ndarray    [T] wide-node column count per treelet
+                             (host metadata; quad columns start there).
+    """
+
+    top_node_t: jnp.ndarray
+    top_root: int
+    table: jnp.ndarray
+    n_prims: int
+    n_wide: np.ndarray
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _cumcount_by(keys: np.ndarray) -> np.ndarray:
+    """Rank of each element among equal keys, preserving order."""
+    if len(keys) == 0:
+        return np.zeros(0, np.int64)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    starts = np.r_[0, np.nonzero(sk[1:] != sk[:-1])[0] + 1]
+    group_start = np.repeat(starts, np.diff(np.r_[starts, len(sk)]))
+    ranks = np.arange(len(sk)) - group_start
+    out = np.empty(len(keys), np.int64)
+    out[order] = ranks
+    return out
+
+
+def _half_area_rows(rows: np.ndarray) -> np.ndarray:
+    """SAH half-area of interleaved bounds rows [k, 6]."""
+    d = rows[:, 1::2] - rows[:, 0::2]
+    return (d[:, 0] + d[:, 1]) * d[:, 2] + d[:, 0] * d[:, 1]
+
+
+def _collapse_wide(bounds, first, count, roots, tids, terminal):
+    """Collapse binary subtrees into 8-wide nodes, vectorized over all
+    subtrees at once (level-synchronous; Python loops only over tree
+    levels and the 7 expansion steps).
+
+    roots:    [F0] binary node ids of the wide roots to start from.
+    tids:     [F0] group id per root (wide nodes inherit it).
+    terminal: bool[nc], slots where expansion stops: binary leaves and
+              small subtrees that become quad leaves (leaf collapsing —
+              SAH builders emit ~1.4-prim leaves, so packing whole
+              small subtrees into quads keeps quad columns dense).
+
+    Returns (wide_tid, wide_local, slot_node [W, 8], child_local [W, 8],
+    n_wide_per_group), where slot_node holds binary node ids (-1 =
+    empty slot) and child_local gives the wide-local id of slots that
+    became child wide nodes (-1 for terminal/empty slots).
+    """
+    nc = len(first)
+    areas_all = _half_area_rows(bounds)
+
+    all_tid: list[np.ndarray] = []
+    all_local: list[np.ndarray] = []
+    all_slots: list[np.ndarray] = []
+    all_child_local: list[np.ndarray] = []
+    n_wide = np.zeros(int(tids.max()) + 1 if len(tids) else 1, np.int64)
+
+    froot = np.asarray(roots, np.int64)
+    ftid = np.asarray(tids, np.int64)
+    flocal = _cumcount_by(ftid)  # roots are the first wide nodes per group
+    n_wide_acc = np.bincount(ftid, minlength=len(n_wide)).astype(np.int64)
+
+    while len(froot):
+        F = len(froot)
+        slots = np.full((F, WIDTH), -1, np.int64)
+        slots[:, 0] = froot
+        nslot = np.ones(F, np.int64)
+        for _ in range(WIDTH - 1):
+            valid = slots >= 0
+            sl = np.clip(slots, 0, nc - 1)
+            expandable = valid & ~terminal[sl]
+            a = np.where(expandable, areas_all[sl], -np.inf)
+            pick = np.argmax(a, axis=1)
+            can = (a[np.arange(F), pick] > -np.inf) & (nslot < WIDTH)
+            rows_i = np.nonzero(can)[0]
+            if len(rows_i) == 0:
+                break
+            pk = pick[rows_i]
+            b = slots[rows_i, pk]
+            slots[rows_i, pk] = first[b]
+            slots[rows_i, nslot[rows_i]] = first[b] + 1
+            nslot[rows_i] += 1
+
+        # classify slots: non-terminal slots become child wide nodes.
+        valid = slots >= 0
+        sl = np.clip(slots, 0, nc - 1)
+        is_child = valid & ~terminal[sl]
+
+        # next frontier in row-major order; assign local ids per group.
+        rows_i, cols_i = np.nonzero(is_child)
+        kids = slots[rows_i, cols_i]
+        ktid = ftid[rows_i]
+        klocal = n_wide_acc[ktid] + _cumcount_by(ktid)
+        n_wide_acc += np.bincount(ktid, minlength=len(n_wide)).astype(np.int64)
+
+        child_local = np.full((F, WIDTH), -1, np.int64)
+        child_local[rows_i, cols_i] = klocal
+
+        all_tid.append(ftid)
+        all_local.append(flocal)
+        all_slots.append(slots)
+        all_child_local.append(child_local)
+
+        froot, ftid, flocal = kids, ktid, klocal
+
+    if all_tid:
+        wide_tid = np.concatenate(all_tid)
+        wide_local = np.concatenate(all_local)
+        slot_node = np.concatenate(all_slots, axis=0)
+        child_local = np.concatenate(all_child_local, axis=0)
+    else:
+        wide_tid = np.zeros(0, np.int64)
+        wide_local = np.zeros(0, np.int64)
+        slot_node = np.zeros((0, WIDTH), np.int64)
+        child_local = np.zeros((0, WIDTH), np.int64)
+    return wide_tid, wide_local, slot_node, child_local, n_wide_acc
+
+
+def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
+                        max_prims: int = 1024,
+                        leaf_prims: int = 16) -> WideTreelets:
+    """Cut `bvh` into treelets of <= max_prims primitives and pack the
+    wide kernel tables. Host-side vectorized numpy, one-time per BVH
+    (the TPU analogue of the reference's PrecomputedTri step).
+
+    `leaf_prims`: subtrees with at most this many primitives collapse
+    into dense quad leaves (must be <= 60 so the quad count fits the
+    4-bit count field of the packed word, index.h:74-78)."""
+    assert 1 <= leaf_prims <= 60
+    nc = int(bvh.node_count)
+    dim = bvh.dim
+    assert dim == 3, "wide treelet path is specialized for 3D"
+    bounds = np.asarray(bvh.bounds[:nc], np.float32)
+    index = np.asarray(bvh.index[:nc]).astype(np.uint64)
+    first = (index >> 4).astype(np.int64)
+    count = (index & 15).astype(np.int64)
+    prim_ids = np.asarray(bvh.prim_ids).astype(np.int64)
+    tri_np = np.asarray(tri_flat, np.float32)
+    inner = count == 0
+
+    # ---- subtree prim counts via level-synchronous BFS ---------------
+    levels = [np.asarray([0], np.int64)]
+    frontier = levels[0]
+    while True:
+        fi = frontier[inner[frontier]]
+        if len(fi) == 0:
+            break
+        kids = np.concatenate([first[fi], first[fi] + 1])
+        levels.append(kids)
+        frontier = kids
+
+    nprims = np.where(inner, 0, count)
+    for lev in reversed(levels):
+        li = lev[inner[lev]]
+        if len(li):
+            nprims[li] = nprims[first[li]] + nprims[first[li] + 1]
+
+    # ---- treelet roots + top region ----------------------------------
+    parent = np.full(nc, -1, np.int64)
+    ii = np.nonzero(inner)[0]
+    parent[first[ii]] = ii
+    parent[first[ii] + 1] = ii
+    is_top = nprims > max_prims  # the top region (always inner nodes)
+    troot = (~is_top) & ((parent < 0) | is_top[np.clip(parent, 0, nc - 1)])
+    troot[0] = not is_top[0]
+    troots = np.nonzero(troot)[0]
+    T = len(troots)
+    tid_of_root = np.full(nc, -1, np.int64)
+    tid_of_root[troots] = np.arange(T)
+
+    # ---- collapse every treelet into wide nodes ----------------------
+    # Leaf collapsing: a slot whose subtree holds <= leaf_prims prims
+    # terminates and becomes a dense run of quad columns (SAH builders
+    # emit ~1.4-prim leaves; packing whole subtrees keeps quads full).
+    terminal = (~inner) | (nprims <= leaf_prims)
+    wide_tid, wide_local, slot_node, child_local, n_wide = _collapse_wide(
+        bounds, first, count, troots, np.arange(T), terminal
+    )
+    W = len(wide_tid)
+
+    # ---- quad leaf assignment (global, vectorized) --------------------
+    valid = slot_node >= 0
+    sl = np.clip(slot_node, 0, nc - 1)
+    is_leaf_slot = valid & terminal[sl]
+    lr, lc = np.nonzero(is_leaf_slot)
+    leaf_node = slot_node[lr, lc]
+    # quad columns are assigned per treelet in (wide local id, slot) order
+    order = np.lexsort((lc, wide_local[lr], wide_tid[lr]))
+    lr, lc = lr[order], lc[order]
+    leaf_node = leaf_node[order]
+    leaf_tid = wide_tid[lr]
+    leaf_np = nprims[leaf_node]
+    leaf_nq = -(-leaf_np // QUAD)
+    # exclusive cumsum of nq within each treelet
+    cs = np.cumsum(leaf_nq) - leaf_nq
+    if len(leaf_tid):
+        starts = np.r_[0, np.nonzero(leaf_tid[1:] != leaf_tid[:-1])[0] + 1]
+        base_of_group = cs[starts]
+        leaf_qoff = cs - np.repeat(
+            base_of_group, np.diff(np.r_[starts, len(leaf_tid)]))
+    else:
+        leaf_qoff = cs
+    n_quads = np.bincount(leaf_tid, weights=leaf_nq, minlength=T).astype(np.int64)
+
+    # collect every leaf slot's subtree prim positions in left-to-right
+    # (in-order) sequence: assign each slot a contiguous output range,
+    # propagate offsets down level-by-level, then leaves write ranges.
+    out_base = np.cumsum(leaf_np) - leaf_np
+    total_out = int(leaf_np.sum())
+    offset = np.full(nc, -1, np.int64)
+    offset[leaf_node] = out_base  # leaf slots are disjoint subtrees
+    frontier = leaf_node[inner[leaf_node]]
+    while len(frontier):
+        l = first[frontier]
+        r = l + 1
+        offset[l] = offset[frontier]
+        offset[r] = offset[frontier] + nprims[l]
+        nxt = np.concatenate([l, r])
+        frontier = nxt[inner[nxt]]
+    ln = np.nonzero((offset >= 0) & ~inner)[0]
+    c = count[ln]
+    tot = int(c.sum())
+    within = np.arange(tot) - np.repeat(np.cumsum(c) - c, c)
+    out = np.empty(total_out, np.int64)
+    out[np.repeat(offset[ln], c) + within] = np.repeat(first[ln], c) + within
+    assert tot == total_out
+
+    P = int(_round_up(max(1, int((n_wide[:T] + n_quads).max())), 128))
+
+    # ---- pack per-treelet combined tables -----------------------------
+    table = np.zeros((max(T, 1), ROWS, P), np.float32)
+    big = np.float32(np.finfo(np.float32).max)
+    # empty child slots: empty box (never hit), word 0
+    # node columns: bounds rows 0-47
+    col_of_wide = wide_local  # node columns come first
+    vr, vc = np.nonzero(valid)
+    vslot = slot_node[vr, vc]
+    trow = wide_tid[vr]
+    ccol = col_of_wide[vr]
+    b6 = bounds[vslot]  # [k, 6]
+    for d in range(6):
+        table[trow, vc * 6 + d, ccol] = b6[:, d]
+    # default empty boxes for invalid slots
+    er, ec = np.nonzero(~valid)
+    if len(er):
+        etrow = wide_tid[er]
+        ecol = col_of_wide[er]
+        for d in range(3):
+            table[etrow, ec * 6 + 2 * d, ecol] = big
+            table[etrow, ec * 6 + 2 * d + 1, ecol] = -big
+
+    # slot words: inner child -> (child column << 4); leaf -> quad word
+    words = np.zeros((W, WIDTH), np.int64)
+    icr, icc = np.nonzero(child_local >= 0)
+    words[icr, icc] = child_local[icr, icc] << 4
+    quad_col_base = n_wide[np.clip(leaf_tid, 0, T - 1)] if T else leaf_tid
+    assert leaf_nq.max(initial=0) <= 15
+    leaf_word = ((quad_col_base + leaf_qoff) << 4) | leaf_nq
+    words[lr, lc] = leaf_word
+    wr = np.repeat(np.arange(W), WIDTH).reshape(W, WIDTH)
+    table[wide_tid[wr.ravel()], 48 + np.tile(np.arange(WIDTH), W),
+          col_of_wide[wr.ravel()]] = words.ravel().astype(np.float32)
+
+    # quad columns: gpos rows default to -1 (padding prims never hit,
+    # and the kernel guards on gpos >= 0), then real quads overwrite.
+    col_idx = np.arange(P)[None, :]
+    in_quad_region = col_idx >= n_wide[:T, None]  # [T, P]
+    for j in range(QUAD):
+        table[:, j * 13 + 12, :] = np.where(in_quad_region, -1.0,
+                                            table[:, j * 13 + 12, :])
+    if len(leaf_tid):
+        qrep = np.repeat(np.arange(len(leaf_tid)), leaf_nq)
+        qk = _cumcount_by(qrep)  # quad index within its leaf
+        qtid = leaf_tid[qrep]
+        qcol = n_wide[qtid] + leaf_qoff[qrep] + qk
+        # 4 prim positions per quad, read from the collected sequence
+        oidx = (out_base[qrep][:, None] + qk[:, None] * QUAD
+                + np.arange(QUAD)[None, :])
+        pvalid = oidx < (out_base[qrep] + leaf_np[qrep])[:, None]
+        ppos = out[np.clip(oidx, 0, total_out - 1)]
+        ppos_c = np.clip(ppos, 0, len(prim_ids) - 1)
+        tri_idx = ppos_c if permuted else prim_ids[ppos_c]
+        geo = tri_np[np.clip(tri_idx, 0, len(tri_np) - 1)]  # [q, 4, 12]
+        geo = np.where(pvalid[:, :, None], geo, 0.0)
+        gpos = np.where(pvalid, ppos, -1).astype(np.float32)
+        for j in range(QUAD):
+            for d in range(12):
+                table[qtid, j * 13 + d, qcol] = geo[:, j, d]
+            table[qtid, j * 13 + 12, qcol] = gpos[:, j]
+
+    # ---- top-region binary pair table (phase-A collect format) -------
+    top_nodes = np.nonzero(is_top)[0]
+    if len(top_nodes) == 0:
+        top_rows = np.zeros((1, 14), np.float32)
+        top_rows[0, 0:6] = bounds[0]
+        top_rows[0, 6:12:2] = big
+        top_rows[0, 7:12:2] = -big
+        top_rows[0, 12] = float(1)  # (0 << 4) | 1: portal to treelet 0
+        top_rows[0, 13] = float(1)
+        top_root = 1 << 4
+        Pt = 128
+        top_node_t = np.zeros((16, Pt), np.float32)
+        top_node_t[:14, :1] = top_rows.T
+    else:
+        top_pair = np.full(nc, -1, np.int64)
+        top_pair[top_nodes] = np.arange(len(top_nodes))
+
+        def top_word(nids):
+            w = np.where(
+                tid_of_root[nids] >= 0,
+                (tid_of_root[nids] << 4) | 1,
+                (2 * top_pair[nids] + 1) << 4,
+            )
+            return w.astype(np.float32)
+
+        k = np.arange(len(top_nodes))
+        l = first[top_nodes]
+        top_rows = np.zeros((len(top_nodes), 14), np.float32)
+        top_rows[:, 0:6] = bounds[l]
+        top_rows[:, 6:12] = bounds[l + 1]
+        top_rows[:, 12] = top_word(l)
+        top_rows[:, 13] = top_word(l + 1)
+        top_root = int(top_word(np.asarray([0]))[0])
+        Pt = int(_round_up(len(top_nodes), 128))
+        top_node_t = np.zeros((16, Pt), np.float32)
+        top_node_t[:14, : len(top_nodes)] = top_rows.T
+
+    return WideTreelets(
+        top_node_t=jnp.asarray(top_node_t),
+        top_root=top_root,
+        table=jnp.asarray(table),
+        n_prims=len(prim_ids),
+        n_wide=np.asarray(n_wide[:T], np.int64),
+    )
+
+
+# ------------------------------------------------------------- kernel
+def _sort8(keys, words):
+    """Batcher odd-even merge sort of 8 rows by key: [8, B] each."""
+    pairs = [(0, 1), (2, 3), (4, 5), (6, 7),
+             (0, 2), (1, 3), (4, 6), (5, 7),
+             (1, 2), (5, 6),
+             (0, 4), (1, 5), (2, 6), (3, 7),
+             (2, 4), (3, 5),
+             (1, 2), (3, 4), (5, 6)]
+    kt = [keys[i:i + 1] for i in range(8)]
+    wt = [words[i:i + 1] for i in range(8)]
+    for a, b in pairs:
+        swap = kt[a] > kt[b]
+        ka = jnp.where(swap, kt[b], kt[a])
+        kb = jnp.where(swap, kt[a], kt[b])
+        wa = jnp.where(swap, wt[b], wt[a])
+        wb = jnp.where(swap, wt[a], wt[b])
+        kt[a], kt[b] = ka, kb
+        wt[a], wt[b] = wa, wb
+    return kt, wt
+
+
+def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
+                 *, any_hit, robust, stack_depth):
+    """Traverse ONE wide treelet per grid block (table DMA'd by the
+    pipeline via the scalar-prefetched treelet id).
+
+    ray rows: org(0-2), dir(3-5), tmin(6), active(7).
+    state rows: tmax(0), best_t(1), best_u(2), best_v(3), best_pos(4).
+    out rows: same as state.
+    """
+    del tid_ref
+    B = ray_ref.shape[1]
+    f32, i32 = jnp.float32, jnp.int32
+    rays = ray_ref[:, :]
+    org = rays[0:3]
+    dir_ = rays[3:6]
+    tmin = rays[6:7]
+    lane_active = rays[7:8] > 0
+
+    st = state_ref[:, :]
+    tmax0 = st[0:1]
+    best0 = st[1:2]
+    u0 = st[2:3]
+    v0 = st[3:4]
+    pos0 = st[4:5].astype(i32)
+
+    eps = jnp.asarray(np.finfo(np.float32).eps, f32)
+    big = jnp.asarray(np.finfo(np.float32).max, f32)
+    if robust:
+        inv_dir = 1.0 / dir_
+    else:
+        inv_dir = jnp.where(jnp.abs(dir_) <= eps,
+                            jnp.where(jnp.signbit(dir_), -big, big),
+                            1.0 / dir_)
+    inv_org = -inv_dir * org
+    ui = jax.lax.bitcast_convert_type(inv_dir, jnp.uint32)
+    padded = jax.lax.bitcast_convert_type(ui + jnp.uint32(2), f32)
+    inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
+    neg = jnp.signbit(dir_)
+
+    table = table_ref[0]
+    P = table.shape[1]
+
+    def fetch(idx):
+        iota = jax.lax.broadcasted_iota(i32, (P, B), 0)
+        oh = (iota == idx).astype(f32)
+        return jax.lax.dot_general(
+            table, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+        )
+
+    inf_row = jnp.full((1, B), jnp.inf, f32)
+
+    state = (
+        jnp.zeros((stack_depth, B), i32),      # stack of packed words
+        jnp.zeros((1, B), i32),                # sp
+        jnp.zeros((1, B), i32),                # top word (wide node col 0)
+        jnp.zeros((1, B), i32),                # leaf_cur (quad column)
+        jnp.zeros((1, B), i32),                # leaf_rem (quad count)
+        (lane_active & (tmin <= tmax0)).astype(i32),
+        tmax0,
+        best0,
+        u0,
+        v0,
+        pos0,
+    )
+
+    def cond(s):
+        return jnp.any(s[5] > 0)
+
+    def body(s):
+        (stack, sp, top, leaf_cur, leaf_rem, active_i, tmax,
+         best_t, best_u, best_v, best_pos) = s
+        active = active_i > 0
+        in_leaf = active & (leaf_rem > 0)
+
+        fid = top >> 4
+        fetch_idx = jnp.where(in_leaf, leaf_cur, fid)
+        row = fetch(fetch_idx)
+
+        # ---- quad leaf step: 4 sequential Moller-Trumbore tests ------
+        done_by_hit = jnp.zeros((1, B), bool)
+        for j in range(QUAD):
+            p0 = row[j * 13: j * 13 + 3]
+            e1 = row[j * 13 + 3: j * 13 + 6]
+            e2 = row[j * 13 + 6: j * 13 + 9]
+            nrm = row[j * 13 + 9: j * 13 + 12]
+            gpos = row[j * 13 + 12: j * 13 + 13].astype(i32)
+            cvec = p0 - org
+            rvec = jnp.concatenate(
+                [dir_[1:2] * cvec[2:3] - dir_[2:3] * cvec[1:2],
+                 dir_[2:3] * cvec[0:1] - dir_[0:1] * cvec[2:3],
+                 dir_[0:1] * cvec[1:2] - dir_[1:2] * cvec[0:1]], axis=0)
+            inv_det = 1.0 / jnp.sum(nrm * dir_, axis=0, keepdims=True)
+            uu = jnp.sum(rvec * e2, axis=0, keepdims=True) * inv_det
+            vv = jnp.sum(rvec * e1, axis=0, keepdims=True) * inv_det
+            ww = 1.0 - uu - vv
+            tt = jnp.sum(nrm * cvec, axis=0, keepdims=True) * inv_det
+            tol = -eps
+            tri_hit = ((uu >= tol) & (vv >= tol) & (ww >= tol)
+                       & (tt >= tmin) & (tt <= tmax) & in_leaf
+                       & (gpos >= 0) & ~done_by_hit)
+            best_t = jnp.where(tri_hit, tt, best_t)
+            if not any_hit:
+                tmax = jnp.where(tri_hit, tt, tmax)
+            else:
+                done_by_hit = done_by_hit | tri_hit
+            best_u = jnp.where(tri_hit, uu, best_u)
+            best_v = jnp.where(tri_hit, vv, best_v)
+            best_pos = jnp.where(tri_hit, gpos, best_pos)
+        leaf_cur = jnp.where(in_leaf, leaf_cur + 1, leaf_cur)
+        leaf_rem = jnp.where(in_leaf, leaf_rem - 1, leaf_rem)
+        leaf_exhausted = in_leaf & (leaf_rem == 0) & ~done_by_hit
+
+        # ---- wide inner step: 8 slab tests, sorted multi-push --------
+        in_inner = active & ~in_leaf
+        top_is_leaf = (top & 15) != 0
+        enter_leaf = in_inner & top_is_leaf
+        do_node = in_inner & ~top_is_leaf
+
+        t0s = []
+        hits = []
+        for c in range(WIDTH):
+            t0 = tmin
+            t1 = tmax
+            for d in range(3):
+                lo = row[c * 6 + 2 * d: c * 6 + 2 * d + 1]
+                hi = row[c * 6 + 2 * d + 1: c * 6 + 2 * d + 2]
+                ng = neg[d:d + 1]
+                nb = jnp.where(ng, hi, lo)
+                fb = jnp.where(ng, lo, hi)
+                if robust:
+                    tn = (nb - org[d:d + 1]) * inv_dir[d:d + 1]
+                    tf = (fb - org[d:d + 1]) * inv_pad[d:d + 1]
+                else:
+                    tn = nb * inv_dir[d:d + 1] + inv_org[d:d + 1]
+                    tf = fb * inv_dir[d:d + 1] + inv_org[d:d + 1]
+                # robust_max/min with NaN swallowed as in node.h:105-117
+                t0 = jnp.maximum(tn, t0)
+                t1 = jnp.minimum(tf, t1)
+            t0s.append(t0)
+            # Mosaic cannot concatenate i1 vregs; carry hits as i32.
+            hits.append((t0 <= t1).astype(i32))
+        t0v = jnp.concatenate(t0s, axis=0)       # [8, B]
+        hitm = jnp.concatenate(hits, axis=0) > 0
+        words = row[48:56].astype(i32)
+        if any_hit:
+            # slot order (SATO: slots are area-descending by collapse)
+            keys = jnp.where(
+                hitm,
+                jax.lax.broadcasted_iota(f32, (WIDTH, B), 0),
+                inf_row * jnp.ones((WIDTH, 1), f32),
+            )
+        else:
+            keys = jnp.where(hitm, t0v, jnp.inf)
+        kt, wt = _sort8(keys, words)
+        n_hits = jnp.sum(hitm.astype(i32), axis=0, keepdims=True)
+
+        descend = do_node & (n_hits > 0)
+        new_top = wt[0]
+        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
+        # push far-to-near so the nearest remaining pops first
+        for j in range(WIDTH - 1, 0, -1):
+            push_j = do_node & (n_hits > j)
+            col = (lanes == sp) & push_j
+            stack = jnp.where(col, wt[j], stack)
+            sp = jnp.where(push_j, jnp.minimum(sp + 1, stack_depth), sp)
+
+        leaf_cur = jnp.where(enter_leaf, fid, leaf_cur)
+        leaf_rem = jnp.where(enter_leaf, top & 15, leaf_rem)
+
+        need_pop = (do_node & (n_hits == 0)) | leaf_exhausted
+        can_pop = need_pop & (sp > 0)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0,
+                         keepdims=True)
+        top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
+        active = active & ~done_by_hit & ~(need_pop & ~can_pop)
+        return (stack, sp, top, leaf_cur, leaf_rem, active.astype(i32),
+                tmax, best_t, best_u, best_v, best_pos)
+
+    out = jax.lax.while_loop(cond, body, state)
+    (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos) = out
+    zf = jnp.zeros((1, B), f32)
+    out_ref[:, :] = jnp.concatenate(
+        [tmax, best_t, best_u, best_v, best_pos.astype(f32), zf, zf, zf],
+        axis=0,
+    )
+
+
+def _phase_b(btid, table, brays, bstate, *, block, any_hit, robust,
+             stack_depth, interpret):
+    nb = btid.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, ROWS, table.shape[2]),
+                         lambda i, tid: (tid[i], 0, 0)),
+            pl.BlockSpec((8, block), lambda i, tid: (0, i)),
+            pl.BlockSpec((8, block), lambda i, tid: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((8, block), lambda i, tid: (0, i)),
+    )
+    kernel = partial(_wide_kernel, any_hit=any_hit, robust=robust,
+                     stack_depth=stack_depth)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, nb * block), jnp.float32),
+        interpret=interpret,
+    )(btid, table, brays, bstate)
+
+
+# ------------------------------------------------------------- driver
+def _lcm(a, b):
+    return a * b // int(np.gcd(a, b))
+
+
+@partial(jax.jit, static_argnames=(
+    "top_root", "any_hit", "robust", "block", "top_block", "top_stack",
+    "stack_depth", "max_portals", "max_rounds", "interpret"))
+def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
+                block, top_block, top_stack, stack_depth, max_portals,
+                max_rounds, interpret):
+    """The whole render in ONE jitted call: phase-A collect, per-ray
+    portal sort, and every phase-B round inside a lax.while_loop —
+    zero host roundtrips until the final readback."""
+    from bvh_tpu.traverse.treelet import _collect_kernel
+
+    f32, i32 = jnp.float32, jnp.int32
+    Rp = packed.shape[1]
+    T = table.shape[0]
+    NB = Rp // block
+    MP = max_portals
+
+    # ---- phase A ------------------------------------------------------
+    root = jnp.full((8, 128), top_root, i32)
+    n_blocks = Rp // top_block
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(top_node_t.shape, lambda i: (0, 0)),
+            pl.BlockSpec((8, top_block), lambda i: (0, i)),
+            pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((MP, top_block), lambda i: (0, i)),
+            pl.BlockSpec((MP, top_block), lambda i: (0, i)),
+            pl.BlockSpec((8, top_block), lambda i: (0, i)),
+        ],
+    )
+    kernel = partial(_collect_kernel, dim=3, robust=robust,
+                     stack_depth=top_stack, max_portals=MP)
+    ptid, ptent, cnt = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((MP, Rp), i32),
+            jax.ShapeDtypeStruct((MP, Rp), f32),
+            jax.ShapeDtypeStruct((8, Rp), i32),
+        ],
+        interpret=interpret,
+    )(top_node_t, packed, root)
+
+    # sort each ray's portals ascending by entry distance (exactness:
+    # closest-hit termination needs ascending processing, bvh.h:137-149)
+    ptent, ptid = jax.lax.sort((ptent, ptid), num_keys=1, dimension=0)
+
+    tmin = packed[6]
+    tmax0 = packed[7]
+    ray_rows = jnp.concatenate(
+        [packed[0:7], jnp.zeros((1, Rp), f32)], axis=0
+    ).T  # [Rp, 8]: org, dir, tmin, active placeholder
+
+    iota_r = jax.lax.broadcasted_iota(i32, (Rp, 1), 0)[:, 0]
+    iota_mp = jax.lax.broadcasted_iota(i32, (MP, 1), 0)
+
+    def pend_at(cursor, tmax, pos_f):
+        """Per-ray (entry, tid, ready) of the portal at `cursor`."""
+        rowmask = iota_mp == cursor[None, :]
+        pend_t = jnp.max(jnp.where(rowmask, ptent, -jnp.inf), axis=0)
+        pend_tid = jnp.max(jnp.where(rowmask, ptid, -1), axis=0)
+        live = (pos_f < 0) if any_hit else jnp.ones((Rp,), bool)
+        ready = live & (pend_t <= tmax) & (pend_tid >= 0) & (cursor < MP)
+        return pend_tid, ready
+
+    def cond(c):
+        k, cursor, tmax, bt, bu, bv, pos_f, alive = c
+        return jnp.logical_and(k < max_rounds, alive)
+
+    def body(c):
+        k, cursor, tmax, bt, bu, bv, pos_f, alive = c
+        pend_tid, ready = pend_at(cursor, tmax, pos_f)
+        key = jnp.where(ready, pend_tid, T)
+        key_s, ids_s = jax.lax.sort((key, iota_r), num_keys=1)
+
+        # Block-aligned run placement: each treelet's ready rays get
+        # whole blocks of their own (runs padded to block boundaries),
+        # so EVERY block processes all its lanes in one round —
+        # without this, blocks straddling tid runs only process their
+        # leading run and convergence takes O(T) rounds. All maps are
+        # gathers/searchsorteds; no scatters (slow on this backend).
+        tids = jnp.arange(T, dtype=i32)
+        start_t = jnp.searchsorted(key_s, tids, side="left").astype(i32)
+        end_t = jnp.searchsorted(key_s, tids, side="right").astype(i32)
+        cnt_t = end_t - start_t
+        nblk_t = -(-cnt_t // block)
+        blk_base = jnp.cumsum(nblk_t) - nblk_t  # exclusive cumsum [T]
+        total_blocks = jnp.minimum(blk_base[-1] + nblk_t[-1], NB)
+
+        blocks = jnp.arange(NB, dtype=i32)
+        tid_of_block = (
+            jnp.searchsorted(blk_base, blocks, side="right").astype(i32) - 1
+        )
+        block_ok = blocks < total_blocks
+        tid_of_block = jnp.clip(tid_of_block, 0, T - 1)
+        btid = jnp.where(block_ok, tid_of_block, T)
+
+        # slot -> sorted position -> ray
+        slot_b = iota_r // block
+        slot_l = iota_r % block
+        t_b = jnp.take(tid_of_block, slot_b)
+        pos = (jnp.take(start_t, t_b)
+               + (slot_b - jnp.take(blk_base, t_b)) * block + slot_l)
+        lane_ok = (jnp.take(block_ok, slot_b)
+                   & (pos < jnp.take(end_t, t_b)))
+        ray = jnp.take(ids_s, jnp.clip(pos, 0, Rp - 1))
+
+        brays = jnp.take(ray_rows, ray, axis=0)
+        brays = brays.at[:, 7].set(lane_ok.astype(f32))
+        state_rows = jnp.stack(
+            [tmax, bt, bu, bv, pos_f,
+             jnp.zeros_like(tmax), jnp.zeros_like(tmax),
+             jnp.zeros_like(tmax)], axis=1)
+        bstate = jnp.take(state_rows, ray, axis=0)
+
+        fout = _phase_b(
+            jnp.clip(btid, 0, T - 1), table, brays.T, bstate.T,
+            block=block, any_hit=any_hit, robust=robust,
+            stack_depth=stack_depth, interpret=interpret,
+        )
+
+        # sorted position -> slot (the inverse map), then merge by a
+        # payload sort back to ray order
+        kt = jnp.clip(key_s, 0, T - 1)
+        pos_in_run = iota_r - jnp.take(start_t, kt)
+        slot_of_i = ((jnp.take(blk_base, kt) + pos_in_run // block) * block
+                     + pos_in_run % block)
+        proc_i = ((key_s < T) & (slot_of_i < NB * block)
+                  & (jnp.take(blk_base, kt) + pos_in_run // block
+                     < total_blocks))
+        slot_of_i = jnp.clip(slot_of_i, 0, Rp - 1)
+        out_i = jnp.take(fout[0:5], slot_of_i, axis=1)  # [5, Rp]
+        old_i = jnp.take(state_rows, ids_s, axis=0).T[0:5]
+        procf = proc_i[None, :].astype(f32)
+        merged = jnp.where(procf > 0, out_i, old_i)
+        _, n_tmax, n_bt, n_bu, n_bv, n_pos, n_proc = jax.lax.sort(
+            (ids_s, merged[0], merged[1], merged[2], merged[3],
+             merged[4], procf[0]),
+            num_keys=1,
+        )
+        cursor = cursor + (n_proc > 0).astype(i32)
+        _, ready2 = pend_at(cursor, n_tmax, n_pos)
+        return (k + 1, cursor, n_tmax, n_bt, n_bu, n_bv, n_pos,
+                jnp.any(ready2))
+
+    cursor0 = jnp.zeros((Rp,), i32)
+    _, ready0 = pend_at(cursor0, tmax0, jnp.full((Rp,), -1.0, f32))
+    init = (jnp.asarray(0, i32), cursor0, tmax0,
+            jnp.full((Rp,), jnp.inf, f32), jnp.zeros((Rp,), f32),
+            jnp.zeros((Rp,), f32), jnp.full((Rp,), -1.0, f32),
+            jnp.any(ready0))
+    k, _, tmax, bt, bu, bv, pos_f, _ = jax.lax.while_loop(cond, body, init)
+    del tmin
+    return bt, bu, bv, pos_f, cnt[0], k
+
+
+def wide_treelet_intersect_tris(
+    tl: WideTreelets,
+    rays: Ray,
+    prim_ids=None,
+    *,
+    any_hit: bool = False,
+    robust: bool = False,
+    block: int = 2048,
+    top_block: int = 8192,
+    top_stack: int = 48,
+    stack_depth: int = 24,
+    max_portals: int = 32,
+    max_rounds: int = 64,
+    interpret: bool = False,
+) -> Hit:
+    """Closest/any-hit over a wide-treelet scene (see module docstring).
+
+    `prim_ids`: the BVH's permutation array, used to translate hit
+    positions to primitive ids (pass None when primitives were
+    pre-permuted, c_api/bvh.h:233-274 contract)."""
+    R = rays.tmin.shape[0]
+    Rp = _round_up(R, _lcm(block, top_block))
+    packed = jnp.zeros((8, Rp), jnp.float32)
+    packed = packed.at[0:3, :R].set(rays.org.T)
+    packed = packed.at[3:6, :R].set(rays.dir.T)
+    packed = packed.at[6, :R].set(rays.tmin)
+    packed = packed.at[7, :R].set(rays.tmax)
+    if Rp > R:
+        packed = packed.at[6, R:].set(1.0)  # tmin > tmax: inactive
+        packed = packed.at[3, R:].set(1.0)
+
+    bt, bu, bv, pos_f, pcnt, rounds = _render_jit(
+        tl.top_node_t, tl.table, packed,
+        top_root=tl.top_root, any_hit=any_hit, robust=robust, block=block,
+        top_block=top_block, top_stack=top_stack, stack_depth=stack_depth,
+        max_portals=max_portals, max_rounds=max_rounds, interpret=interpret,
+    )
+    max_cnt = int(jnp.max(pcnt[:R])) if R else 0
+    if max_cnt > max_portals:
+        raise ValueError(
+            f"portal list overflow: a ray entered {max_cnt} treelet boxes "
+            f"(capacity {max_portals}); raise max_portals or rebuild with "
+            f"a larger max_prims"
+        )
+
+    bt, bu, bv, pos_f = bt[:R], bu[:R], bv[:R], pos_f[:R]
+    pos = pos_f.astype(jnp.int32)
+    invalid = jnp.asarray(0xFFFFFFFF, jnp.uint32)
+    missed = pos < 0
+    pos_u = jnp.where(missed, invalid, pos.astype(jnp.uint32))
+    if prim_ids is not None:
+        ids = jnp.asarray(prim_ids)
+        prim_id = jnp.where(
+            missed, invalid,
+            ids[jnp.clip(pos, 0, ids.shape[0] - 1)].astype(jnp.uint32),
+        )
+    else:
+        prim_id = pos_u
+    return Hit(
+        t=jnp.where(missed, jnp.inf, bt),
+        u=bu, v=bv, prim_pos=pos_u, prim_id=prim_id,
+        stats=TraversalStats(pcnt[:R], jnp.full((R,), int(rounds), jnp.int32)),
+    )

@@ -4,6 +4,7 @@ import io
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bvh_tpu.api.flat import BVH_INVALID_PRIM_ID, BuildConfig, bvh3f
 from bvh_tpu.build.default import DefaultConfig, Quality, build_default
@@ -70,6 +71,7 @@ def test_flat_intersect_variants(cornell_tris):
         assert bool(hit.hit[0])
 
 
+@pytest.mark.slow
 def test_default_builder_qualities(cornell_tris):
     mn, mx, centers, _ = scene_arrays(cornell_tris)
     for q in (Quality.LOW, Quality.MEDIUM, Quality.HIGH):
@@ -78,6 +80,7 @@ def test_default_builder_qualities(cornell_tris):
         check_bvh_invariants(bvh, len(cornell_tris))
 
 
+@pytest.mark.slow
 def test_default_builder_parallel_path():
     """Above parallel_threshold the mini-tree pipeline is selected."""
     rng = np.random.default_rng(5)

@@ -46,6 +46,7 @@ def test_build_single_prim():
 
 
 @pytest.mark.parametrize("n", [2, 3, 7, 33, 100, 257])
+@pytest.mark.slow
 def test_build_random_sizes(n):
     rng = np.random.default_rng(n)
     pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)

@@ -11,6 +11,8 @@ from bvh_tpu.core.types import Index
 
 from helpers import check_bvh_invariants, scene_arrays
 
+pytestmark = pytest.mark.slow  # compile-heavy (builder while_loops)
+
 
 def random_scene(n, seed=0):
     rng = np.random.default_rng(seed)

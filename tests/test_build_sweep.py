@@ -11,6 +11,8 @@ from bvh_tpu.io.serialize import load_bvh
 
 from helpers import check_bvh_invariants, scene_arrays
 
+pytestmark = pytest.mark.slow  # compile-heavy (builder while_loops)
+
 
 def test_sweep_cornell_invariants(cornell_tris):
     mn, mx, centers, _ = scene_arrays(cornell_tris)

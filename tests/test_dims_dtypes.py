@@ -16,6 +16,8 @@ from bvh_tpu.core.types import index_dtype_for
 from bvh_tpu.io.serialize import deserialize_from_bytes, serialize_to_bytes
 from bvh_tpu.traverse.wavefront import make_sphere_leaf_fn, traverse
 
+pytestmark = pytest.mark.slow  # compile-heavy (builder while_loops)
+
 
 def random_boxes(n, dim, dtype, seed=0):
     rng = np.random.default_rng(seed)

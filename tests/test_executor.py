@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bvh_tpu.par.executor import ParallelExecutor, SequentialExecutor
 from bvh_tpu.par.mesh import make_mesh
@@ -26,6 +27,7 @@ def test_parallel_for_each():
     assert list(np.asarray(out)) == [i * i for i in range(8)]
 
 
+@pytest.mark.slow
 def test_parallel_reduce_mesh():
     ex = ParallelExecutor(make_mesh(8))
     vals = jnp.arange(64, dtype=jnp.float32)

@@ -53,6 +53,7 @@ def test_graft_entry_single():
     assert int(np.isfinite(np.asarray(t)).sum()) > 0
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
 

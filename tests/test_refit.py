@@ -2,11 +2,14 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bvh_tpu.build.binned import build_binned
 from bvh_tpu.traverse.refit import compute_parents, leaf_of_position, refit
 
 from helpers import check_bvh_invariants, scene_arrays
+
+pytestmark = pytest.mark.slow  # compile-heavy (builder while_loops)
 
 
 def test_refit_identity(cornell_tris):

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bvh_tpu.build.binned import build_binned
 from bvh_tpu.build.reinsertion import ReinsertionConfig, optimize_reinsertion
@@ -46,6 +47,7 @@ def test_reinsertion_reduces_area(cornell_tris):
     check_leaf_set_unchanged(bvh, opt, len(cornell_tris))
 
 
+@pytest.mark.slow
 def test_reinsertion_random_scene():
     mn, mx, c = random_scene(400, seed=11)
     bvh = build_binned(mn, mx, c)

@@ -11,6 +11,8 @@ from bvh_tpu.traverse.wavefront import intersect_tris
 from helpers import scene_arrays
 from test_traverse import assert_hits_match
 
+pytestmark = pytest.mark.slow  # compile-heavy (builder while_loops)
+
 
 def _random_scene(n, seed):
     rng = np.random.default_rng(seed)

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from bvh_tpu.build.binned import build_binned
 from bvh_tpu.io.serialize import load_bvh
@@ -54,6 +55,7 @@ def test_wide_any_hit(golden_dir, cornell_tris, golden_anyhit):
     assert np.array_equal(np.asarray(hit.hit).astype(np.uint8), golden_anyhit)
 
 
+@pytest.mark.slow
 def test_wide_random_scene():
     import jax.numpy as jnp
 

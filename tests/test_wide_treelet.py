@@ -1,0 +1,124 @@
+"""Wide-treelet traversal vs the XLA wavefront oracle.
+
+Validates the round-2 large-scene path (traverse/wide_treelet.py):
+preprocessing invariants, then hit-for-hit agreement with
+`intersect_tris` on a multi-treelet procedural scene, in Pallas
+interpret mode on the CPU mesh.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bvh_tpu.api.flat import BuildConfig, bvh3f
+from bvh_tpu.build.default import Quality
+from bvh_tpu.cli.camera import primary_rays
+from bvh_tpu.core.ray import Ray
+from bvh_tpu.geom.tri import PrecomputedTri, Tri
+from bvh_tpu.io.scenes import scene_camera, sponza_class
+from bvh_tpu.traverse.wavefront import intersect_tris
+from bvh_tpu.traverse.wide_treelet import (
+    build_wide_treelets,
+    wide_treelet_intersect_tris,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    tris = sponza_class(3000, seed=3)
+    tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]),
+              jnp.asarray(tris[:, 2]))
+    mn, mx = tri.get_bbox()
+    bvh = bvh3f.build(mn, mx, tri.get_center(),
+                      BuildConfig(quality=Quality.MEDIUM))
+    flat = PrecomputedTri.from_tri(tri).as_flat()
+    eye, d, up = scene_camera(tris)
+    rays = primary_rays(eye, d, up, 32, 32)
+    return bvh, flat, rays
+
+
+def _hits_match(a, b, n_rays, tie_budget=0.002):
+    """Hit-for-hit comparison with a small coplanar-tie budget (the
+    8-way sorting network is not stable; see module docstring)."""
+    at = np.asarray(a.t)
+    bt = np.asarray(b.t)
+    ah = np.isfinite(at)
+    bh = np.isfinite(bt)
+    assert np.array_equal(ah, bh), (
+        f"hit masks differ: {int((ah != bh).sum())} rays"
+    )
+    assert np.allclose(at[ah], bt[bh], rtol=1e-6, atol=1e-6)
+    ap = np.asarray(a.prim_id)
+    bp = np.asarray(b.prim_id)
+    mism = int((ap != bp).sum())
+    assert mism <= max(1, int(tie_budget * n_rays)), (
+        f"{mism} prim-id mismatches"
+    )
+
+
+def test_preprocess_invariants(scene):
+    bvh, flat, _ = scene
+    tl = build_wide_treelets(bvh, flat, max_prims=256)
+    T, rows, P = tl.table.shape
+    assert rows == 64
+    assert T >= 2, "scene should decompose into multiple treelets"
+    assert P % 128 == 0
+    # every valid quad gpos is a unique in-range prim position, and
+    # the union over treelets covers every primitive exactly once
+    tab = np.asarray(tl.table)
+    gpos = []
+    for t in range(T):
+        wn = int(tl.n_wide[t])
+        for j in range(4):
+            gpos.append(tab[t, j * 13 + 12, wn:].ravel())
+    gpos = np.concatenate(gpos)
+    got = np.sort(gpos[gpos >= 0].astype(np.int64))
+    assert np.array_equal(got, np.arange(tl.n_prims)), (
+        "quad columns must cover every prim position exactly once"
+    )
+
+
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_matches_wavefront(scene, any_hit):
+    bvh, flat, rays = scene
+    oracle = intersect_tris(bvh, flat, rays, permuted=False,
+                            any_hit=any_hit)
+    tl = build_wide_treelets(bvh, flat, max_prims=256)
+    hit = wide_treelet_intersect_tris(
+        tl, rays, prim_ids=bvh.prim_ids, any_hit=any_hit,
+        block=256, top_block=512, interpret=True,
+    )
+    n = rays.tmin.shape[0]
+    if any_hit:
+        ah = np.isfinite(np.asarray(hit.t))
+        bh = np.isfinite(np.asarray(oracle.t))
+        assert np.array_equal(ah, bh)
+    else:
+        _hits_match(hit, oracle, n)
+
+
+@pytest.mark.slow
+def test_single_treelet_scene(scene):
+    """A scene small enough that the whole tree is one treelet
+    (degenerate top region)."""
+    bvh, flat, rays = scene
+    tl = build_wide_treelets(bvh, flat, max_prims=1 << 14)
+    assert tl.table.shape[0] == 1
+    oracle = intersect_tris(bvh, flat, rays, permuted=False)
+    hit = wide_treelet_intersect_tris(
+        tl, rays, prim_ids=bvh.prim_ids,
+        block=256, top_block=512, interpret=True,
+    )
+    _hits_match(hit, oracle, rays.tmin.shape[0])
+
+
+@pytest.mark.slow
+def test_robust_variant(scene):
+    bvh, flat, rays = scene
+    oracle = intersect_tris(bvh, flat, rays, permuted=False, robust=True)
+    tl = build_wide_treelets(bvh, flat, max_prims=256)
+    hit = wide_treelet_intersect_tris(
+        tl, rays, prim_ids=bvh.prim_ids, robust=True,
+        block=256, top_block=512, interpret=True,
+    )
+    _hits_match(hit, oracle, rays.tmin.shape[0])
