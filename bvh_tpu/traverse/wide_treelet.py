@@ -440,8 +440,11 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
     pipeline via the scalar-prefetched treelet id).
 
     ray rows: org(0-2), dir(3-5), tmin(6), active(7).
-    state rows: tmax(0), best_t(1), best_u(2), best_v(3), best_pos(4).
-    out rows: same as state.
+    state rows: tmax(0), best_t(1), best_u(2), best_v(3), best_pos(4),
+                pair id echo(5).
+    out rows: same as state (row 5 = pair id passthrough, so the driver
+    can unsort kernel results with one payload sort instead of an
+    inverse-permutation gather).
     """
     del tid_ref
     B = ray_ref.shape[1]
@@ -458,6 +461,7 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
     u0 = st[2:3]
     v0 = st[3:4]
     pos0 = st[4:5].astype(i32)
+    pid_echo = st[5:6]
 
     eps = jnp.asarray(np.finfo(np.float32).eps, f32)
     big = jnp.asarray(np.finfo(np.float32).max, f32)
@@ -618,7 +622,8 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
     (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos) = out
     zf = jnp.zeros((1, B), f32)
     out_ref[:, :] = jnp.concatenate(
-        [tmax, best_t, best_u, best_v, best_pos.astype(f32), zf, zf, zf],
+        [tmax, best_t, best_u, best_v, best_pos.astype(f32), pid_echo,
+         zf, zf],
         axis=0,
     )
 
@@ -654,20 +659,41 @@ def _lcm(a, b):
 
 @partial(jax.jit, static_argnames=(
     "top_root", "any_hit", "robust", "block", "top_block", "top_stack",
-    "stack_depth", "max_portals", "max_rounds", "interpret"))
+    "stack_depth", "max_portals", "max_rounds", "sel_cap",
+    "portals_per_round", "interpret"))
 def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
                 block, top_block, top_stack, stack_depth, max_portals,
-                max_rounds, interpret):
+                max_rounds, sel_cap, portals_per_round, interpret):
     """The whole render in ONE jitted call: phase-A collect, per-ray
-    portal sort, and every phase-B round inside a lax.while_loop —
-    zero host roundtrips until the final readback."""
+    portal sort, and a lax.while_loop of dense pair rounds — zero host
+    roundtrips until the final readback.
+
+    Round scheme (measured on hardware, tools/profile_phaseb.py): only
+    ~10% of primary rays ever reach a treelet, and per-treelet block
+    padding leaves kernel blocks ~12% occupied when each round takes
+    one portal per ray. Instead every round (a) partitions the rays
+    that still have a live portal to the front (a 2-op sort, ~1.5 ms
+    at 1M), (b) takes the first `sel_cap` of them, (c) expands each
+    ray's next `portals_per_round` portals into a dense pair list
+    sorted by treelet id, and (d) runs one kernel pass over full
+    blocks. A ray's portals are entry-ascending, so the portal at the
+    cursor being dead (exhausted, or entry > tmax which only shrinks)
+    means every later one is too — `ready ⟺ portal[cursor] live`.
+    Pairs of one ray run with the same input tmax (no intra-round
+    pruning); results merge by first-j strict-min, matching the
+    reference's near-to-far traversal order (bvh.h:137-149)."""
     from bvh_tpu.traverse.treelet import _collect_kernel
 
     f32, i32 = jnp.float32, jnp.int32
     Rp = packed.shape[1]
     T = table.shape[0]
-    NB = Rp // block
     MP = max_portals
+    K = portals_per_round
+    Rc = min(sel_cap, Rp)
+    L = K * Rc
+    # worst case run padding: T tid runs + the invalid-pair run
+    NBL = -(-L // block) + T + 2
+    LL = NBL * block
 
     # ---- phase A ------------------------------------------------------
     root = jnp.full((8, 128), top_root, i32)
@@ -699,116 +725,166 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
     )(top_node_t, packed, root)
 
     # sort each ray's portals ascending by entry distance (exactness:
-    # closest-hit termination needs ascending processing, bvh.h:137-149)
+    # closest-hit termination needs ascending processing, bvh.h:137-149;
+    # unused slots are (tid -1, t +inf) and sort to the end)
     ptent, ptid = jax.lax.sort((ptent, ptid), num_keys=1, dimension=0)
 
-    tmin = packed[6]
+    ray_rows = packed[0:7]  # [7, Rp]: org, dir, tmin (static per round)
     tmax0 = packed[7]
-    ray_rows = jnp.concatenate(
-        [packed[0:7], jnp.zeros((1, Rp), f32)], axis=0
-    ).T  # [Rp, 8]: org, dir, tmin, active placeholder
 
     iota_r = jax.lax.broadcasted_iota(i32, (Rp, 1), 0)[:, 0]
+    iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
     iota_mp = jax.lax.broadcasted_iota(i32, (MP, 1), 0)
+    blocks_i = jnp.arange(NBL, dtype=i32)
+    sub_i = jnp.arange(block, dtype=i32)
 
-    def pend_at(cursor, tmax, pos_f):
-        """Per-ray (entry, tid, ready) of the portal at `cursor`."""
-        rowmask = iota_mp == cursor[None, :]
-        pend_t = jnp.max(jnp.where(rowmask, ptent, -jnp.inf), axis=0)
-        pend_tid = jnp.max(jnp.where(rowmask, ptid, -1), axis=0)
-        live = (pos_f < 0) if any_hit else jnp.ones((Rp,), bool)
-        ready = live & (pend_t <= tmax) & (pend_tid >= 0) & (cursor < MP)
-        return pend_tid, ready
+    def ready_of(S6):
+        """ready ⟺ the portal at the cursor is live (entries ascend)."""
+        cur = S6[5].astype(i32)[None, :]
+        rowmask = iota_mp == cur
+        p_t = jnp.max(jnp.where(rowmask, ptent, -jnp.inf), axis=0)
+        p_tid = jnp.max(jnp.where(rowmask, ptid, -1), axis=0)
+        live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
+        return live & (p_tid >= 0) & (p_t <= S6[0])
 
     def cond(c):
-        k, cursor, tmax, bt, bu, bv, pos_f, alive = c
+        k, S6, alive = c
         return jnp.logical_and(k < max_rounds, alive)
 
     def body(c):
-        k, cursor, tmax, bt, bu, bv, pos_f, alive = c
-        pend_tid, ready = pend_at(cursor, tmax, pos_f)
-        key = jnp.where(ready, pend_tid, T)
-        key_s, ids_s = jax.lax.sort((key, iota_r), num_keys=1)
+        k, S6, _ = c
+        # -- partition: rays with a live portal to the front ------------
+        key = 1 - ready_of(S6).astype(i32)
+        _, ids = jax.lax.sort((key, iota_r), num_keys=1)
+        sel = ids[:Rc]
 
-        # Block-aligned run placement: each treelet's ready rays get
-        # whole blocks of their own (runs padded to block boundaries),
-        # so EVERY block processes all its lanes in one round —
-        # without this, blocks straddling tid runs only process their
-        # leading run and convergence takes O(T) rounds. All maps are
-        # gathers/searchsorteds; no scatters (slow on this backend).
-        tids = jnp.arange(T, dtype=i32)
-        start_t = jnp.searchsorted(key_s, tids, side="left").astype(i32)
-        end_t = jnp.searchsorted(key_s, tids, side="right").astype(i32)
-        cnt_t = end_t - start_t
-        nblk_t = -(-cnt_t // block)
-        blk_base = jnp.cumsum(nblk_t) - nblk_t  # exclusive cumsum [T]
-        total_blocks = jnp.minimum(blk_base[-1] + nblk_t[-1], NB)
+        # -- gather the selected rays' data (cost ∝ Rc) ------------------
+        Ssel = jnp.take(S6, sel, axis=1)              # [6, Rc]
+        raysel = jnp.take(ray_rows, sel, axis=1)      # [7, Rc]
+        ptid_sel = jnp.take(ptid, sel, axis=1)        # [MP, Rc]
+        ptent_sel = jnp.take(ptent, sel, axis=1)
+        cursel = Ssel[5].astype(i32)[None, :]
+        live = (Ssel[4] < 0) if any_hit else jnp.ones((Rc,), bool)
 
-        blocks = jnp.arange(NB, dtype=i32)
-        tid_of_block = (
-            jnp.searchsorted(blk_base, blocks, side="right").astype(i32) - 1
-        )
-        block_ok = blocks < total_blocks
-        tid_of_block = jnp.clip(tid_of_block, 0, T - 1)
-        btid = jnp.where(block_ok, tid_of_block, T)
+        # window rows cur..cur+K-1 per selected ray
+        wtid, wt = [], []
+        for j in range(K):
+            rm = iota_mp == cursel + j
+            wtid.append(jnp.max(jnp.where(rm, ptid_sel, -1), axis=0))
+            wt.append(jnp.max(jnp.where(rm, ptent_sel, -jnp.inf), axis=0))
+        wtid = jnp.stack(wtid)                        # [K, Rc]
+        wt = jnp.stack(wt)
+        validk = (wtid >= 0) & (wt <= Ssel[0][None, :]) & live[None, :]
 
-        # slot -> sorted position -> ray
-        slot_b = iota_r // block
-        slot_l = iota_r % block
-        t_b = jnp.take(tid_of_block, slot_b)
-        pos = (jnp.take(start_t, t_b)
-               + (slot_b - jnp.take(blk_base, t_b)) * block + slot_l)
-        lane_ok = (jnp.take(block_ok, slot_b)
-                   & (pos < jnp.take(end_t, t_b)))
-        ray = jnp.take(ids_s, jnp.clip(pos, 0, Rp - 1))
+        # -- dense pair list sorted by treelet id ------------------------
+        # The pair payload (13 ray/state rows + pair id + valid) rides
+        # THROUGH the sort — per-lane flat gathers cost ~7 ms/1M on this
+        # backend, a multi-operand sort ~6 ms total.
+        keyL = jnp.where(validk, wtid, T).reshape(L)
+        data_pair = jnp.concatenate(
+            [jnp.tile(raysel, (1, K)), jnp.tile(Ssel, (1, K))], axis=0)
+        pidf = iota_L.astype(f32)
+        validf = validk.reshape(L).astype(f32)
+        ops = (keyL,) + tuple(data_pair[i] for i in range(13)) + (
+            pidf, validf)
+        sorted_ = jax.lax.sort(ops, num_keys=1)
+        keyS = sorted_[0]
+        dataS = jnp.stack(sorted_[1:16])              # [15, L]
 
-        brays = jnp.take(ray_rows, ray, axis=0)
-        brays = brays.at[:, 7].set(lane_ok.astype(f32))
-        state_rows = jnp.stack(
-            [tmax, bt, bu, bv, pos_f,
-             jnp.zeros_like(tmax), jnp.zeros_like(tmax),
-             jnp.zeros_like(tmax)], axis=1)
-        bstate = jnp.take(state_rows, ray, axis=0)
+        # -- block-aligned run placement via scans (gather-free) ---------
+        # lane_slot[i] = i + padding inserted before i's run start
+        prev = jnp.concatenate([jnp.full((1,), -1, i32), keyS[:-1]])
+        flag = keyS != prev
+        run_start = jax.lax.cummax(jnp.where(flag, iota_L, 0))
+        prev_start = jnp.concatenate(
+            [jnp.zeros((1,), i32), run_start[:-1]])
+        prev_len = jnp.where(flag, iota_L - prev_start, 0)
+        pad_delta = jnp.where(flag, (-prev_len) % block, 0)
+        lane_slot = iota_L + jnp.cumsum(pad_delta)
+
+        # per-block quantities (tiny arrays; broadcast to lanes for free)
+        p0_b = jnp.searchsorted(
+            lane_slot, blocks_i * block, side="left").astype(i32)
+        p0c = jnp.clip(p0_b, 0, L - 1)
+        t_b = jnp.take(keyS, p0c)
+        tid_of_block = jnp.clip(t_b, 0, T - 1)
+        l0_b = jnp.take(lane_slot, p0c)
+        # invalid-pair (key T) blocks keep their lanes: the lanes are
+        # inactive (valid 0 => kernel passthrough) but their pair-id
+        # echoes keep the unsort aligned over all L pairs
+        e_b = jnp.searchsorted(keyS, t_b, side="right").astype(i32)
+        pos_lane = ((p0_b - l0_b + blocks_i * block)[:, None]
+                    + sub_i[None, :])                 # [NBL, block]
+        lane_ok = (pos_lane < e_b[:, None]) & (pos_lane >= 0)
+        pos_flat = jnp.clip(pos_lane, 0, L - 1).reshape(LL)
+        okf = lane_ok.reshape(LL).astype(f32)
+
+        dataL = jnp.take(dataS, pos_flat, axis=1)     # [15, LL]
+        active = dataL[14] * okf
+        iota_LL_f = (jax.lax.broadcasted_iota(i32, (LL, 1), 0)[:, 0]
+                     + L).astype(f32)
+        pid_lane = jnp.where(okf > 0, dataL[13], iota_LL_f)
+        brays = jnp.concatenate([dataL[0:7], active[None, :]], axis=0)
+        bstate = jnp.concatenate(
+            [dataL[7:12], pid_lane[None, :], jnp.zeros((2, LL), f32)],
+            axis=0)
 
         fout = _phase_b(
-            jnp.clip(btid, 0, T - 1), table, brays.T, bstate.T,
+            tid_of_block, table, brays, bstate,
             block=block, any_hit=any_hit, robust=robust,
             stack_depth=stack_depth, interpret=interpret,
         )
 
-        # sorted position -> slot (the inverse map), then merge by a
-        # payload sort back to ray order
-        kt = jnp.clip(key_s, 0, T - 1)
-        pos_in_run = iota_r - jnp.take(start_t, kt)
-        slot_of_i = ((jnp.take(blk_base, kt) + pos_in_run // block) * block
-                     + pos_in_run % block)
-        proc_i = ((key_s < T) & (slot_of_i < NB * block)
-                  & (jnp.take(blk_base, kt) + pos_in_run // block
-                     < total_blocks))
-        slot_of_i = jnp.clip(slot_of_i, 0, Rp - 1)
-        out_i = jnp.take(fout[0:5], slot_of_i, axis=1)  # [5, Rp]
-        old_i = jnp.take(state_rows, ids_s, axis=0).T[0:5]
-        procf = proc_i[None, :].astype(f32)
-        merged = jnp.where(procf > 0, out_i, old_i)
-        _, n_tmax, n_bt, n_bu, n_bv, n_pos, n_proc = jax.lax.sort(
-            (ids_s, merged[0], merged[1], merged[2], merged[3],
-             merged[4], procf[0]),
-            num_keys=1,
-        )
-        cursor = cursor + (n_proc > 0).astype(i32)
-        _, ready2 = pend_at(cursor, n_tmax, n_pos)
-        return (k + 1, cursor, n_tmax, n_bt, n_bu, n_bv, n_pos,
-                jnp.any(ready2))
+        # -- unsort by the kernel's pair-id echo, merge K per ray --------
+        so = jax.lax.sort(
+            (fout[5], fout[0], fout[1], fout[2], fout[3], fout[4]),
+            num_keys=1)
+        out_pair = jnp.stack(so[1:])[:, :L].reshape(5, K, Rc)
 
-    cursor0 = jnp.zeros((Rp,), i32)
-    _, ready0 = pend_at(cursor0, tmax0, jnp.full((Rp,), -1.0, f32))
-    init = (jnp.asarray(0, i32), cursor0, tmax0,
-            jnp.full((Rp,), jnp.inf, f32), jnp.zeros((Rp,), f32),
-            jnp.zeros((Rp,), f32), jnp.full((Rp,), -1.0, f32),
-            jnp.any(ready0))
-    k, _, tmax, bt, bu, bv, pos_f, _ = jax.lax.while_loop(cond, body, init)
-    del tmin
-    return bt, bu, bv, pos_f, cnt[0], k
+        # first-j strict-min keeps the near-to-far tie rule; invalid
+        # pairs are masked (their lanes may alias other pairs' slots)
+        n_tmax = Ssel[0]
+        n_bt, n_bu, n_bv, n_pos = Ssel[1], Ssel[2], Ssel[3], Ssel[4]
+        if any_hit:
+            # first-j hit wins; tmax never shrinks on any-hit
+            for j in range(K):
+                hitj = validk[j] & (out_pair[4, j] >= 0) & (n_pos < 0)
+                n_bt = jnp.where(hitj, out_pair[1, j], n_bt)
+                n_bu = jnp.where(hitj, out_pair[2, j], n_bu)
+                n_bv = jnp.where(hitj, out_pair[3, j], n_bv)
+                n_pos = jnp.where(hitj, out_pair[4, j], n_pos)
+        else:
+            for j in range(K):
+                vj = validk[j]
+                n_tmax = jnp.where(vj, jnp.minimum(n_tmax, out_pair[0, j]),
+                                   n_tmax)
+                better = vj & (out_pair[1, j] < n_bt)
+                n_bt = jnp.where(better, out_pair[1, j], n_bt)
+                n_bu = jnp.where(better, out_pair[2, j], n_bu)
+                n_bv = jnp.where(better, out_pair[3, j], n_bv)
+                n_pos = jnp.where(better, out_pair[4, j], n_pos)
+        new6 = jnp.stack([n_tmax, n_bt, n_bu, n_bv, n_pos,
+                          Ssel[5] + K])
+
+        # -- write back: values in ids order, one payload sort ------------
+        old_tail = jnp.take(S6, ids[Rc:], axis=1)     # [6, Rp - Rc]
+        rows_cat = jnp.concatenate([new6, old_tail], axis=1)
+        sorted_back = jax.lax.sort(
+            (ids,) + tuple(rows_cat[i] for i in range(6)), num_keys=1)
+        S6n = jnp.stack(sorted_back[1:])
+        return k + 1, S6n, jnp.any(ready_of(S6n))
+
+    S6 = jnp.stack([
+        tmax0,
+        jnp.full((Rp,), jnp.inf, f32),    # best t
+        jnp.zeros((Rp,), f32),            # u
+        jnp.zeros((Rp,), f32),            # v
+        jnp.full((Rp,), -1.0, f32),       # best pos
+        jnp.zeros((Rp,), f32),            # cursor
+    ])
+    init = (jnp.asarray(0, i32), S6, jnp.any(ready_of(S6)))
+    k, S6, _ = jax.lax.while_loop(cond, body, init)
+    return S6[1], S6[2], S6[3], S6[4], cnt[0], k
 
 
 def wide_treelet_intersect_tris(
@@ -818,21 +894,30 @@ def wide_treelet_intersect_tris(
     *,
     any_hit: bool = False,
     robust: bool = False,
-    block: int = 2048,
+    block: int = 1024,
     top_block: int = 8192,
     top_stack: int = 48,
     stack_depth: int = 24,
     max_portals: int = 32,
     max_rounds: int = 64,
+    sel_cap: int | None = None,
+    portals_per_round: int = 4,
     interpret: bool = False,
 ) -> Hit:
     """Closest/any-hit over a wide-treelet scene (see module docstring).
 
     `prim_ids`: the BVH's permutation array, used to translate hit
     positions to primitive ids (pass None when primitives were
-    pre-permuted, c_api/bvh.h:233-274 contract)."""
+    pre-permuted, c_api/bvh.h:233-274 contract).
+
+    `sel_cap`: rays scheduled per round (default Rp/4, clamped to a
+    block multiple); rays beyond the cap simply wait a round.
+    `portals_per_round`: portals expanded per selected ray per round."""
     R = rays.tmin.shape[0]
     Rp = _round_up(R, _lcm(block, top_block))
+    if sel_cap is None:
+        sel_cap = max(block, _round_up(Rp // 4, block))
+    sel_cap = min(_round_up(sel_cap, block), Rp)
     packed = jnp.zeros((8, Rp), jnp.float32)
     packed = packed.at[0:3, :R].set(rays.org.T)
     packed = packed.at[3:6, :R].set(rays.dir.T)
@@ -846,7 +931,8 @@ def wide_treelet_intersect_tris(
         tl.top_node_t, tl.table, packed,
         top_root=tl.top_root, any_hit=any_hit, robust=robust, block=block,
         top_block=top_block, top_stack=top_stack, stack_depth=stack_depth,
-        max_portals=max_portals, max_rounds=max_rounds, interpret=interpret,
+        max_portals=max_portals, max_rounds=max_rounds, sel_cap=sel_cap,
+        portals_per_round=portals_per_round, interpret=interpret,
     )
     max_cnt = int(jnp.max(pcnt[:R])) if R else 0
     if max_cnt > max_portals:
