@@ -658,12 +658,13 @@ def _lcm(a, b):
 
 
 @partial(jax.jit, static_argnames=(
-    "top_root", "any_hit", "robust", "block", "top_block", "top_stack",
-    "stack_depth", "max_portals", "max_rounds", "sel_cap",
+    "top_root", "any_hit", "robust", "block", "tail_block", "top_block",
+    "top_stack", "stack_depth", "max_portals", "max_rounds", "sel_cap",
     "portals_per_round", "interpret"))
 def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
-                block, top_block, top_stack, stack_depth, max_portals,
-                max_rounds, sel_cap, portals_per_round, interpret):
+                block, tail_block, top_block, top_stack, stack_depth,
+                max_portals, max_rounds, sel_cap, portals_per_round,
+                interpret):
     """The whole render in ONE jitted call: phase-A collect, per-ray
     portal sort, and a lax.while_loop of dense pair rounds — zero host
     roundtrips until the final readback.
@@ -688,12 +689,6 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
     Rp = packed.shape[1]
     T = table.shape[0]
     MP = max_portals
-    K = portals_per_round
-    Rc = min(sel_cap, Rp)
-    L = K * Rc
-    # worst case run padding: T tid runs + the invalid-pair run
-    NBL = -(-L // block) + T + 2
-    LL = NBL * block
 
     # ---- phase A ------------------------------------------------------
     root = jnp.full((8, 128), top_root, i32)
@@ -733,10 +728,7 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
     tmax0 = packed[7]
 
     iota_r = jax.lax.broadcasted_iota(i32, (Rp, 1), 0)[:, 0]
-    iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
     iota_mp = jax.lax.broadcasted_iota(i32, (MP, 1), 0)
-    blocks_i = jnp.arange(NBL, dtype=i32)
-    sub_i = jnp.arange(block, dtype=i32)
 
     def ready_of(S6):
         """ready ⟺ the portal at the cursor is live (entries ascend)."""
@@ -747,12 +739,19 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
         return live & (p_tid >= 0) & (p_t <= S6[0])
 
-    def cond(c):
-        k, S6, alive = c
-        return jnp.logical_and(k < max_rounds, alive)
+    def round_step(S6, Rc, K, blk):
+        """One dense pair round over up to Rc selected rays x K portals.
+        `blk` is the kernel block width for this round — tail rounds
+        use a narrower block so per-treelet run padding and lockstep
+        waste stay small for straggler pairs."""
+        L = K * Rc
+        # worst case run padding: T tid runs + the invalid-pair run
+        NBL = -(-L // blk) + T + 2
+        LL = NBL * blk
+        iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
+        blocks_i = jnp.arange(NBL, dtype=i32)
+        sub_i = jnp.arange(blk, dtype=i32)
 
-    def body(c):
-        k, S6, _ = c
         # -- partition: rays with a live portal to the front ------------
         key = 1 - ready_of(S6).astype(i32)
         _, ids = jax.lax.sort((key, iota_r), num_keys=1)
@@ -799,12 +798,12 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         prev_start = jnp.concatenate(
             [jnp.zeros((1,), i32), run_start[:-1]])
         prev_len = jnp.where(flag, iota_L - prev_start, 0)
-        pad_delta = jnp.where(flag, (-prev_len) % block, 0)
+        pad_delta = jnp.where(flag, (-prev_len) % blk, 0)
         lane_slot = iota_L + jnp.cumsum(pad_delta)
 
         # per-block quantities (tiny arrays; broadcast to lanes for free)
         p0_b = jnp.searchsorted(
-            lane_slot, blocks_i * block, side="left").astype(i32)
+            lane_slot, blocks_i * blk, side="left").astype(i32)
         p0c = jnp.clip(p0_b, 0, L - 1)
         t_b = jnp.take(keyS, p0c)
         tid_of_block = jnp.clip(t_b, 0, T - 1)
@@ -813,8 +812,8 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         # inactive (valid 0 => kernel passthrough) but their pair-id
         # echoes keep the unsort aligned over all L pairs
         e_b = jnp.searchsorted(keyS, t_b, side="right").astype(i32)
-        pos_lane = ((p0_b - l0_b + blocks_i * block)[:, None]
-                    + sub_i[None, :])                 # [NBL, block]
+        pos_lane = ((p0_b - l0_b + blocks_i * blk)[:, None]
+                    + sub_i[None, :])                 # [NBL, blk]
         lane_ok = (pos_lane < e_b[:, None]) & (pos_lane >= 0)
         pos_flat = jnp.clip(pos_lane, 0, L - 1).reshape(LL)
         okf = lane_ok.reshape(LL).astype(f32)
@@ -831,7 +830,7 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
 
         fout = _phase_b(
             tid_of_block, table, brays, bstate,
-            block=block, any_hit=any_hit, robust=robust,
+            block=blk, any_hit=any_hit, robust=robust,
             stack_depth=stack_depth, interpret=interpret,
         )
 
@@ -871,8 +870,7 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         rows_cat = jnp.concatenate([new6, old_tail], axis=1)
         sorted_back = jax.lax.sort(
             (ids,) + tuple(rows_cat[i] for i in range(6)), num_keys=1)
-        S6n = jnp.stack(sorted_back[1:])
-        return k + 1, S6n, jnp.any(ready_of(S6n))
+        return jnp.stack(sorted_back[1:])
 
     S6 = jnp.stack([
         tmax0,
@@ -882,7 +880,26 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         jnp.full((Rp,), -1.0, f32),       # best pos
         jnp.zeros((Rp,), f32),            # cursor
     ])
-    init = (jnp.asarray(0, i32), S6, jnp.any(ready_of(S6)))
+
+    # Big round 1 (covers ~all of a primary-ray workload), then small
+    # tail rounds for the few stragglers — tail glue cost ∝ tail_cap.
+    Rc1 = min(sel_cap, Rp)
+    K1 = portals_per_round
+    tail_cap = min(max(tail_block, _round_up(Rc1 // 8, tail_block)), Rp)
+    K2 = portals_per_round
+
+    S6 = round_step(S6, Rc1, K1, block)
+
+    def cond(c):
+        k, S6, alive = c
+        return jnp.logical_and(k < max_rounds, alive)
+
+    def body(c):
+        k, S6, _ = c
+        S6n = round_step(S6, tail_cap, K2, tail_block)
+        return k + 1, S6n, jnp.any(ready_of(S6n))
+
+    init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6)))
     k, S6, _ = jax.lax.while_loop(cond, body, init)
     return S6[1], S6[2], S6[3], S6[4], cnt[0], k
 
@@ -895,6 +912,7 @@ def wide_treelet_intersect_tris(
     any_hit: bool = False,
     robust: bool = False,
     block: int = 1024,
+    tail_block: int = 256,
     top_block: int = 8192,
     top_stack: int = 48,
     stack_depth: int = 24,
@@ -902,6 +920,7 @@ def wide_treelet_intersect_tris(
     max_rounds: int = 64,
     sel_cap: int | None = None,
     portals_per_round: int = 4,
+    check_overflow: bool = True,
     interpret: bool = False,
 ) -> Hit:
     """Closest/any-hit over a wide-treelet scene (see module docstring).
@@ -930,11 +949,15 @@ def wide_treelet_intersect_tris(
     bt, bu, bv, pos_f, pcnt, rounds = _render_jit(
         tl.top_node_t, tl.table, packed,
         top_root=tl.top_root, any_hit=any_hit, robust=robust, block=block,
-        top_block=top_block, top_stack=top_stack, stack_depth=stack_depth,
-        max_portals=max_portals, max_rounds=max_rounds, sel_cap=sel_cap,
+        tail_block=tail_block, top_block=top_block, top_stack=top_stack,
+        stack_depth=stack_depth, max_portals=max_portals,
+        max_rounds=max_rounds, sel_cap=sel_cap,
         portals_per_round=portals_per_round, interpret=interpret,
     )
-    max_cnt = int(jnp.max(pcnt[:R])) if R else 0
+    # the overflow check reads back a scalar, which synchronizes the
+    # whole render (~35 ms tunnel roundtrip); benchmarks that pipeline
+    # calls can defer it and inspect Hit.stats.visited_nodes instead
+    max_cnt = int(jnp.max(pcnt[:R])) if (R and check_overflow) else 0
     if max_cnt > max_portals:
         raise ValueError(
             f"portal list overflow: a ray entered {max_cnt} treelet boxes "

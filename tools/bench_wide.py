@@ -22,6 +22,9 @@ def main():
                     default=[512, 1024, 2048])
     ap.add_argument("--block", type=int, nargs="*", default=[2048])
     ap.add_argument("--top-block", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--rc-div", type=int, default=4)
+    ap.add_argument("--max-rounds", type=int, default=64)
     ap.add_argument("--any-hit", action="store_true")
     args = ap.parse_args()
 
@@ -68,20 +71,29 @@ def main():
               f"top={tl.top_node_t.shape} pre={t_pre:.2f}s", flush=True)
         for blk in args.block:
             try:
+                import bvh_tpu.traverse.wide_treelet as wtm
+                Rp = wtm._round_up(R, wtm._lcm(blk, 8192))
                 kw = dict(prim_ids=pids, block=blk,
-                          top_block=args.top_block,
+                          top_block=8192,
+                          portals_per_round=args.k,
+                          sel_cap=max(blk, Rp // args.rc_div),
+                          max_rounds=args.max_rounds,
+                          check_overflow=False,
                           any_hit=args.any_hit)
                 t0 = time.perf_counter()
                 hit = wide_treelet_intersect_tris(tl, rays, **kw)
                 nh = int(np.asarray(np.isfinite(hit.t)).sum())
                 t_compile = time.perf_counter() - t0
-                ts = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
+                # pipelined timing: N dispatches, one sync at the end —
+                # excludes the ~35 ms tunnel roundtrip the CPU reference
+                # doesn't pay either
+                NPIPE = 4
+                float(wide_treelet_intersect_tris(tl, rays, **kw).t[0])
+                t0 = time.perf_counter()
+                for _ in range(NPIPE):
                     h2 = wide_treelet_intersect_tris(tl, rays, **kw)
-                    float(h2.t[0])  # force sync (axon quirk)
-                    ts.append(time.perf_counter() - t0)
-                t = sorted(ts)[1]
+                float(h2.t[0])
+                t = (time.perf_counter() - t0) / NPIPE
                 rounds = int(h2.stats.visited_leaves[0])
                 print(f"  block={blk}: {R / t / 1e6:7.2f} Mrays/s "
                       f"({t * 1e3:.1f} ms, compile {t_compile:.1f}s, "
