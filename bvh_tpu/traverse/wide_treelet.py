@@ -444,7 +444,10 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
                 pair id echo(5).
     out rows: same as state (row 5 = pair id passthrough, so the driver
     can unsort kernel results with one payload sort instead of an
-    inverse-permutation gather).
+    inverse-permutation gather), plus row 6 = iterations this block ran
+    (the traversal-stats hook, benchmark.cpp:258-267 analogue) and
+    row 7 = sticky stack-overflow flag (the SmallStack assert analogue,
+    stack.h:21; overflowing lanes report instead of corrupting).
     """
     del tid_ref
     B = ray_ref.shape[1]
@@ -502,6 +505,8 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
         u0,
         v0,
         pos0,
+        jnp.zeros((1, B), i32),                # iterations
+        jnp.zeros((1, B), i32),                # sticky stack overflow
     )
 
     def cond(s):
@@ -509,7 +514,8 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
 
     def body(s):
         (stack, sp, top, leaf_cur, leaf_rem, active_i, tmax,
-         best_t, best_u, best_v, best_pos) = s
+         best_t, best_u, best_v, best_pos, iters, ovf) = s
+        iters = iters + 1
         active = active_i > 0
         in_leaf = active & (leaf_rem > 0)
 
@@ -603,6 +609,7 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
             push_j = do_node & (n_hits > j)
             col = (lanes == sp) & push_j
             stack = jnp.where(col, wt[j], stack)
+            ovf = jnp.where(push_j & (sp >= stack_depth), 1, ovf)
             sp = jnp.where(push_j, jnp.minimum(sp + 1, stack_depth), sp)
 
         leaf_cur = jnp.where(enter_leaf, fid, leaf_cur)
@@ -616,14 +623,14 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~done_by_hit & ~(need_pop & ~can_pop)
         return (stack, sp, top, leaf_cur, leaf_rem, active.astype(i32),
-                tmax, best_t, best_u, best_v, best_pos)
+                tmax, best_t, best_u, best_v, best_pos, iters, ovf)
 
     out = jax.lax.while_loop(cond, body, state)
-    (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos) = out
-    zf = jnp.zeros((1, B), f32)
+    (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos,
+     iters, ovf) = out
     out_ref[:, :] = jnp.concatenate(
         [tmax, best_t, best_u, best_v, best_pos.astype(f32), pid_echo,
-         zf, zf],
+         iters.astype(f32), ovf.astype(f32)],
         axis=0,
     )
 
@@ -870,7 +877,9 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         rows_cat = jnp.concatenate([new6, old_tail], axis=1)
         sorted_back = jax.lax.sort(
             (ids,) + tuple(rows_cat[i] for i in range(6)), num_keys=1)
-        return jnp.stack(sorted_back[1:])
+        blk_iters = jnp.sum(fout[6].reshape(NBL, blk)[:, 0])
+        any_ovf = jnp.max(fout[7])
+        return jnp.stack(sorted_back[1:]), blk_iters, any_ovf
 
     S6 = jnp.stack([
         tmax0,
@@ -888,20 +897,22 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
     tail_cap = min(max(tail_block, _round_up(Rc1 // 8, tail_block)), Rp)
     K2 = portals_per_round
 
-    S6 = round_step(S6, Rc1, K1, block)
+    S6, it1, ov1 = round_step(S6, Rc1, K1, block)
 
     def cond(c):
-        k, S6, alive = c
+        k, S6, alive, it, ov = c
         return jnp.logical_and(k < max_rounds, alive)
 
     def body(c):
-        k, S6, _ = c
-        S6n = round_step(S6, tail_cap, K2, tail_block)
-        return k + 1, S6n, jnp.any(ready_of(S6n))
+        k, S6, _, it, ov = c
+        S6n, itn, ovn = round_step(S6, tail_cap, K2, tail_block)
+        return (k + 1, S6n, jnp.any(ready_of(S6n)), it + itn,
+                jnp.maximum(ov, ovn))
 
-    init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6)))
-    k, S6, _ = jax.lax.while_loop(cond, body, init)
-    return S6[1], S6[2], S6[3], S6[4], cnt[0], k
+    init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6)),
+            it1.astype(f32), ov1)
+    k, S6, _, iters, ovf = jax.lax.while_loop(cond, body, init)
+    return S6[1], S6[2], S6[3], S6[4], cnt[0], k, iters, ovf
 
 
 def wide_treelet_intersect_tris(
@@ -921,6 +932,7 @@ def wide_treelet_intersect_tris(
     sel_cap: int | None = None,
     portals_per_round: int = 4,
     check_overflow: bool = True,
+    return_diag: bool = False,
     interpret: bool = False,
 ) -> Hit:
     """Closest/any-hit over a wide-treelet scene (see module docstring).
@@ -946,7 +958,7 @@ def wide_treelet_intersect_tris(
         packed = packed.at[6, R:].set(1.0)  # tmin > tmax: inactive
         packed = packed.at[3, R:].set(1.0)
 
-    bt, bu, bv, pos_f, pcnt, rounds = _render_jit(
+    bt, bu, bv, pos_f, pcnt, rounds, iters, ovf = _render_jit(
         tl.top_node_t, tl.table, packed,
         top_root=tl.top_root, any_hit=any_hit, robust=robust, block=block,
         tail_block=tail_block, top_block=top_block, top_stack=top_stack,
@@ -954,16 +966,22 @@ def wide_treelet_intersect_tris(
         max_rounds=max_rounds, sel_cap=sel_cap,
         portals_per_round=portals_per_round, interpret=interpret,
     )
-    # the overflow check reads back a scalar, which synchronizes the
+    # the overflow checks read back scalars, which synchronizes the
     # whole render (~35 ms tunnel roundtrip); benchmarks that pipeline
-    # calls can defer it and inspect Hit.stats.visited_nodes instead
-    max_cnt = int(jnp.max(pcnt[:R])) if (R and check_overflow) else 0
-    if max_cnt > max_portals:
-        raise ValueError(
-            f"portal list overflow: a ray entered {max_cnt} treelet boxes "
-            f"(capacity {max_portals}); raise max_portals or rebuild with "
-            f"a larger max_prims"
-        )
+    # calls can defer them and inspect the diag afterwards
+    if R and check_overflow:
+        max_cnt = int(jnp.max(pcnt[:R]))
+        if max_cnt > max_portals:
+            raise ValueError(
+                f"portal list overflow: a ray entered {max_cnt} treelet "
+                f"boxes (capacity {max_portals}); raise max_portals or "
+                f"rebuild with a larger max_prims"
+            )
+        if int(ovf):
+            raise ValueError(
+                f"traversal stack overflow (capacity {stack_depth}); "
+                f"raise stack_depth"
+            )
 
     bt, bu, bv, pos_f = bt[:R], bu[:R], bv[:R], pos_f[:R]
     pos = pos_f.astype(jnp.int32)
@@ -978,8 +996,13 @@ def wide_treelet_intersect_tris(
         )
     else:
         prim_id = pos_u
-    return Hit(
+    hit = Hit(
         t=jnp.where(missed, jnp.inf, bt),
         u=bu, v=bv, prim_pos=pos_u, prim_id=prim_id,
-        stats=TraversalStats(pcnt[:R], jnp.full((R,), int(rounds), jnp.int32)),
+        stats=TraversalStats(pcnt[:R],
+                             jnp.full((R,), 1, jnp.int32) * rounds),
     )
+    if return_diag:
+        return hit, {"rounds": rounds, "block_iters": iters,
+                     "stack_overflow": ovf}
+    return hit

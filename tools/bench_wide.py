@@ -94,10 +94,16 @@ def main():
                     h2 = wide_treelet_intersect_tris(tl, rays, **kw)
                 float(h2.t[0])
                 t = (time.perf_counter() - t0) / NPIPE
-                rounds = int(h2.stats.visited_leaves[0])
+                h3, diag = wide_treelet_intersect_tris(
+                    tl, rays, return_diag=True, **kw)
+                rounds = int(diag["rounds"])
+                iters = float(diag["block_iters"])
+                ovf = int(diag["stack_overflow"])
                 print(f"  block={blk}: {R / t / 1e6:7.2f} Mrays/s "
                       f"({t * 1e3:.1f} ms, compile {t_compile:.1f}s, "
-                      f"{nh} hits, {rounds} rounds)", flush=True)
+                      f"{nh} hits, {rounds} rounds, "
+                      f"{iters/1e3:.0f}K block-iters, ovf={ovf})",
+                      flush=True)
             except Exception as e:
                 print(f"  block={blk}: FAILED {str(e)[:300]}", flush=True)
 
