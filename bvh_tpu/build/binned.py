@@ -62,17 +62,32 @@ def _round(state: frontier.FrontierState, bb_min, bb_max, centers, config: TopDo
     posf = jnp.where(posf < B - 1, posf, B - 1)
     bins_of = posf.astype(jnp.int32)
 
+    # Scatter-free segmented binning: counts via one cumsum + boundary
+    # gathers, bin bboxes via one flagged segmented min/max scan, both
+    # read per open node at its segment's last position. (TPU scatter
+    # with n updates serializes; scans/gathers are bandwidth-bound.)
     pbmn = bb_min[prim]
     pbmx = bb_max[prim]
-    cnt = jnp.zeros((f_cap, dim, B), jnp.int32)
-    bmn = jnp.full((f_cap, dim, B, dim), big, dtype)
-    bmx = jnp.full((f_cap, dim, B, dim), -big, dtype)
-    act_i = act.astype(jnp.int32)
-    for axis in range(dim):
-        b = bins_of[:, axis]
-        cnt = cnt.at[f, axis, b].add(act_i, mode="drop")
-        bmn = bmn.at[f, axis, b].min(pbmn, mode="drop")
-        bmx = bmx.at[f, axis, b].max(pbmx, mode="drop")
+    onehot = bins_of[:, :, None] == jnp.arange(B, dtype=jnp.int32)[None, None, :]
+    node_f = f2n  # frontier -> node ids (sentinel cap when unused)
+    node_f_c = jnp.minimum(node_f, cap - 1)
+    begin_f = state.begin[node_f_c]
+    end_f = state.end[node_f_c]
+    cnt_cols = (onehot & act[:, None, None]).reshape(n, dim * B).astype(jnp.int32)
+    cnt = frontier.segment_sums_at(cnt_cols, begin_f, end_f).reshape(f_cap, dim, B)
+    mask4 = onehot[:, :, :, None]
+    vals_mn = jnp.where(mask4, pbmn[:, None, None, :], big).reshape(n, dim * B * dim)
+    vals_mx = jnp.where(mask4, pbmx[:, None, None, :], -big).reshape(n, dim * B * dim)
+    heads = frontier.segment_heads(state)
+    smn, smx = frontier.segmented_minmax(heads, vals_mn, vals_mx)
+    last_f = jnp.clip(end_f - 1, 0, n - 1)
+    bmn = smn[last_f].reshape(f_cap, dim, B, dim)
+    bmx = smx[last_f].reshape(f_cap, dim, B, dim)
+    # Sentinel frontier slots (f2n == cap) must read as empty bins.
+    live_f = (node_f < cap)[:, None, None]
+    cnt = jnp.where(live_f, cnt, 0)
+    bmn = jnp.where(live_f[..., None], bmn, big)
+    bmx = jnp.where(live_f[..., None], bmx, -big)
 
     # ---- SAH sweep over bins (reference: find_best_split, 101-116) --
     right_cost = jnp.full((f_cap, dim, B), inf, dtype)
@@ -107,9 +122,8 @@ def _round(state: frontier.FrontierState, bb_min, bb_max, centers, config: TopDo
     best_bin_f = (best_flat % (B - 1) + 1).astype(jnp.int32)
 
     # ---- per-node decisions (reference: try_split, 128-156) --------
-    node_f = f2n  # frontier -> node ids (sentinel cap when unused)
-    size_f = state.end[jnp.minimum(node_f, cap - 1)] - state.begin[jnp.minimum(node_f, cap - 1)]
-    row_f = state.bounds[jnp.minimum(node_f, cap - 1)]
+    size_f = end_f - begin_f
+    row_f = state.bounds[node_f_c]
     fmn, fmx = row_f[:, 0::2], row_f[:, 1::2]
     diag_f = fmx - fmn
     node_ha = bbox_ops.get_half_area(fmn, fmx)
@@ -121,20 +135,24 @@ def _round(state: frontier.FrontierState, bb_min, bb_max, centers, config: TopDo
     min_best = jnp.take_along_axis(fmn, best_axis_f[:, None], axis=1)[:, 0]
     split_val_f = (diag_best / jnp.asarray(B, dtype)) * best_bin_f.astype(dtype) + min_best
 
-    # Scatter frontier decisions to node-indexed arrays.
-    node_axis = jnp.zeros((cap,), jnp.int32).at[node_f].set(best_axis_f, mode="drop")
-    node_split_val = jnp.zeros((cap,), dtype).at[node_f].set(split_val_f, mode="drop")
-    node_sah_ok = jnp.zeros((cap,), bool).at[node_f].set(sah_ok_f, mode="drop")
-    node_largest = jnp.zeros((cap,), jnp.int32).at[node_f].set(largest_f, mode="drop")
+    # Broadcast frontier decisions back to node indexing by gathering
+    # at each node's frontier position (fpos; garbage for closed nodes,
+    # masked by open_ — scatter-free).
+    fpos_c = jnp.clip(fpos, 0, f_cap - 1)
+    node_axis = jnp.where(state.open_, best_axis_f[fpos_c], 0)
+    node_split_val = jnp.where(state.open_, split_val_f[fpos_c], 0)
+    node_sah_ok = state.open_ & sah_ok_f[fpos_c]
+    node_largest = jnp.where(state.open_, largest_f[fpos_c], 0)
 
     # ---- SAH partition test per position ---------------------------
     axis_p = node_axis[nid]
     center_on_axis = jnp.take_along_axis(c, axis_p[:, None], axis=1)[:, 0]
     gl_sah = center_on_axis < node_split_val[nid]
 
-    count_left = jnp.zeros((cap,), jnp.int32).at[jnp.where(act, nid, cap)].add(
-        (gl_sah & act).astype(jnp.int32), mode="drop"
+    count_left = frontier.segment_sums_at(
+        (gl_sah & act).astype(jnp.int32), state.begin, state.end
     )
+    count_left = jnp.where(state.open_, count_left, 0)
     size_all = state.end - state.begin
     degenerate = node_sah_ok & ((count_left == 0) | (count_left == size_all))
     do_split = state.open_ & (node_sah_ok | (size_all > config.max_leaf_size))
@@ -145,9 +163,7 @@ def _round(state: frontier.FrontierState, bb_min, bb_max, centers, config: TopDo
         key = jnp.where(act & use_fb[nid], fpos[nid], f_cap)
         largest_p = node_largest[nid]
         vals = jnp.take_along_axis(c, largest_p[:, None], axis=1)[:, 0]
-        sizes_by_key = jnp.zeros((f_cap,), jnp.int32).at[
-            jnp.where(use_fb, fpos, f_cap)
-        ].set(size_all, mode="drop")
+        sizes_by_key = jnp.where(use_fb[node_f_c] & (node_f < cap), size_f, 0)
         return frontier.segment_ranks_by_value(key, vals, sizes_by_key, f_cap)
 
     ranks = jax.lax.cond(

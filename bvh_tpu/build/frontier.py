@@ -153,6 +153,64 @@ def init_forest(
     )
 
 
+def segment_heads(state: FrontierState):
+    """True at the first position of each node segment. Used as the
+    reset flag for segmented scans (the scatter-free formulation of the
+    reference's per-node loops; TPU scatter with n updates serializes,
+    a flagged associative scan is bandwidth-bound)."""
+    n = state.order.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    return pos == state.begin[state.seg]
+
+
+def segmented_minmax(heads, vmin, vmax):
+    """Inclusive segmented cummin/cummax over contiguous segments.
+
+    heads: [n] bool segment-start flags. vmin/vmax: [n, K]. Returns the
+    running (min, max) within each segment; row `end-1` of a segment is
+    its full reduction.
+    """
+
+    def comb(a, b):
+        fa, mna, mxa = a
+        fb, mnb, mxb = b
+        keep = fb[:, None] if mnb.ndim == 2 else fb
+        mn = jnp.where(keep, mnb, jnp.minimum(mna, mnb))
+        mx = jnp.where(keep, mxb, jnp.maximum(mxa, mxb))
+        return fa | fb, mn, mx
+
+    _, mn, mx = jax.lax.associative_scan(comb, (heads, vmin, vmax), axis=0)
+    return mn, mx
+
+
+def segment_sums_at(values, begin, end):
+    """Per-query sums over position ranges [begin_i, end_i) via one
+    inclusive cumsum + two boundary gathers (scatter-free segmented
+    sum; segments are contiguous by the frontier invariant).
+
+    values: [n] or [n, K]. begin/end: [q] int32. Returns [q] or [q, K].
+    """
+    n = values.shape[0]
+    cs = jnp.cumsum(values, axis=0)
+    if values.ndim == 1:
+        def at(idx):
+            return jnp.where(idx >= 0, cs[jnp.clip(idx, 0, n - 1)], 0)
+    else:
+        def at(idx):
+            return jnp.where(
+                (idx >= 0)[:, None], cs[jnp.clip(idx, 0, n - 1)], 0
+            )
+    return at(end - 1) - at(begin - 1)
+
+
+def inverse_permute(new_pos, payloads):
+    """Compute `out[new_pos[p]] = payload[p]` for each payload via one
+    multi-payload sort keyed on the destination (the scatter-free
+    permutation apply; `new_pos` must be a permutation of [0, n))."""
+    res = jax.lax.sort((new_pos,) + tuple(payloads), num_keys=1)
+    return res[1:]
+
+
 def compact_frontier(open_):
     """Assign dense frontier positions to open nodes.
 
@@ -164,13 +222,20 @@ def compact_frontier(open_):
     cap = open_.shape[0]
     f_cap = max(1, (cap + 1) // 4)  # cap = 2n-1 -> floor(n/2) open nodes max
     fpos = jnp.cumsum(open_.astype(jnp.int32), dtype=jnp.int32) - 1
-    safe_fpos = jnp.where(open_, fpos, f_cap)  # out-of-range -> dropped
-    # Unused frontier slots map to the sentinel `cap` so that scatters
-    # indexed through f2n are dropped rather than clobbering node 0.
-    f2n = jnp.full((f_cap,), cap, jnp.int32).at[safe_fpos].set(
-        jnp.arange(cap, dtype=jnp.int32), mode="drop"
+    num_open = jnp.sum(open_, dtype=jnp.int32)
+    # Compaction via one key sort (scatter-free): open nodes carry their
+    # dense fpos as key, closed ones a big key, so the first num_open
+    # sorted payloads are the open node ids in fpos order. Unused
+    # frontier slots map to the sentinel `cap` so that reads indexed
+    # through f2n can be masked.
+    key = jnp.where(open_, fpos, cap)
+    _, ids_sorted = jax.lax.sort(
+        (key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1
     )
-    return fpos, f2n, jnp.sum(open_, dtype=jnp.int32)
+    f2n = jnp.where(
+        jnp.arange(f_cap, dtype=jnp.int32) < num_open, ids_sorted[:f_cap], cap
+    )
+    return fpos, f2n, num_open
 
 
 def segmented_left_rank(goes_left, begin_p):
@@ -215,10 +280,10 @@ def apply_splits(
     begin_p = state.begin[nid]
     gl = goes_left & act
 
-    # --- stable segmented partition --------------------------------
-    count_left = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(act, nid, cap)
-    ].add(gl.astype(jnp.int32), mode="drop")
+    # --- stable segmented partition (scatter-free: cumsum ranks +
+    # boundary gathers + one destination-keyed sort) -----------------
+    count_left = segment_sums_at(gl.astype(jnp.int32), state.begin, state.end)
+    count_left = jnp.where(do_split, count_left, 0)
     left_rank = segmented_left_rank(gl, begin_p)
     right_rank = (pos - begin_p) - left_rank
     new_pos = jnp.where(
@@ -226,7 +291,6 @@ def apply_splits(
         jnp.where(gl, begin_p + left_rank, begin_p + count_left[nid] + right_rank),
         pos,
     )
-    new_order = jnp.zeros_like(state.order).at[new_pos].set(state.order)
 
     # Partition the extra per-axis orderings with their own routing but
     # the shared segment geometry (same counts by construction).
@@ -240,7 +304,8 @@ def apply_splits(
             jnp.where(xg, begin_p + xlr, begin_p + count_left[nid] + xrr),
             pos,
         )
-        new_extras.append(jnp.zeros_like(xorder).at[xnew_pos].set(xorder))
+        (xnew,) = inverse_permute(xnew_pos, (xorder,))
+        new_extras.append(xnew)
 
     mid = state.begin + count_left  # absolute split position per node
 
@@ -251,18 +316,26 @@ def apply_splits(
     num_splits = jnp.sum(split_i, dtype=jnp.int32)
 
     # --- per-side bounding boxes (reference: compute_bbox,
-    # top_down_sah_builder.h:133-139) --------------------------------
+    # top_down_sah_builder.h:133-139) — scatter-free: one flagged
+    # segmented min/max scan over [left-masked | right-masked] values,
+    # read at each segment's last position.
     pb_min = bboxes_min[state.order]
     pb_max = bboxes_max[state.order]
     big = jnp.asarray(jnp.finfo(pb_min.dtype).max, pb_min.dtype)
-    side = jnp.where(gl, 0, 1)
-    scat_nid = jnp.where(act, nid, cap)
-    side_min = jnp.full((cap, 2, dim), big, pb_min.dtype).at[scat_nid, side].min(
-        pb_min, mode="drop"
+    heads = segment_heads(state)
+    gr = act & ~gl
+    vals_mn = jnp.concatenate(
+        [jnp.where(gl[:, None], pb_min, big), jnp.where(gr[:, None], pb_min, big)],
+        axis=1,
     )
-    side_max = jnp.full((cap, 2, dim), -big, pb_max.dtype).at[scat_nid, side].max(
-        pb_max, mode="drop"
+    vals_mx = jnp.concatenate(
+        [jnp.where(gl[:, None], pb_max, -big), jnp.where(gr[:, None], pb_max, -big)],
+        axis=1,
     )
+    smn, smx = segmented_minmax(heads, vals_mn, vals_mx)
+    last = jnp.clip(state.end - 1, 0, n - 1)
+    side_min = smn[last].reshape(cap, 2, dim)
+    side_max = smx[last].reshape(cap, 2, dim)
 
     area_a = bbox_ops.get_half_area(side_min[:, 0], side_max[:, 0])
     area_b = bbox_ops.get_half_area(side_min[:, 1], side_max[:, 1])
@@ -281,16 +354,22 @@ def apply_splits(
     c1_begin = jnp.where(a_first, mid, state.begin)
     c1_end = jnp.where(a_first, state.end, mid)
 
-    # --- scatter children into the node arrays ----------------------
-    c0 = jnp.where(do_split, child_base, cap)  # out-of-range -> dropped
-    c1 = jnp.where(do_split, child_base + 1, cap)
+    # --- write children into the node arrays (scatter-free) ---------
+    # Child pairs land in the contiguous fresh range
+    # [node_count, node_count + 2*num_splits). One key sort compacts
+    # the splitting node ids into rank order; every destination slot
+    # then *gathers* its content from its source parent.
+    rank = jnp.cumsum(split_i, dtype=jnp.int32) - split_i
+    skey = jnp.where(do_split, rank, cap)
+    _, split_node_of = jax.lax.sort(
+        (skey, jnp.arange(cap, dtype=jnp.int32)), num_keys=1
+    )
 
-    bounds = state.bounds
-    bounds = bounds.at[c0].set(make_node_bounds_row(c0_min, c0_max), mode="drop")
-    bounds = bounds.at[c1].set(make_node_bounds_row(c1_min, c1_max), mode="drop")
-
-    begin = state.begin.at[c0].set(c0_begin, mode="drop").at[c1].set(c1_begin, mode="drop")
-    end = state.end.at[c0].set(c0_end, mode="drop").at[c1].set(c1_end, mode="drop")
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    rel = slot - state.node_count
+    is_child = (rel >= 0) & (rel < 2 * num_splits)
+    src = split_node_of[jnp.clip(rel >> 1, 0, cap - 1)]
+    side1 = (rel & 1) == 1
 
     # A child is open iff its size exceeds min_leaf_size
     # (reference: top_down_sah_builder.h:89); otherwise it is a leaf now.
@@ -299,10 +378,16 @@ def apply_splits(
     c0_open = c0_size > min_leaf_size
     c1_open = c1_size > min_leaf_size
 
-    index = state.index
+    c0_row = make_node_bounds_row(c0_min, c0_max)
+    c1_row = make_node_bounds_row(c1_min, c1_max)
+    child_row = jnp.where(side1[:, None], c1_row[src], c0_row[src])
+    bounds = jnp.where(is_child[:, None], child_row, state.bounds)
+    begin = jnp.where(is_child, jnp.where(side1, c1_begin[src], c0_begin[src]), state.begin)
+    end = jnp.where(is_child, jnp.where(side1, c1_end[src], c0_end[src]), state.end)
+
     # Parent becomes inner (reference: top_down_sah_builder.h:92).
-    index = index.at[jnp.where(do_split, jnp.arange(cap), cap)].set(
-        Index.make_inner(child_base, index_dtype), mode="drop"
+    index = jnp.where(
+        do_split, Index.make_inner(child_base, index_dtype), state.index
     )
     # Min-leaf children become leaves immediately
     # (reference: top_down_sah_builder.h:125).
@@ -312,8 +397,9 @@ def apply_splits(
     c1_leaf_idx = Index.make_leaf(
         jnp.maximum(c1_begin, 0), jnp.maximum(c1_size, 1), index_dtype
     )
-    index = index.at[jnp.where(do_split & ~c0_open, c0, cap)].set(c0_leaf_idx, mode="drop")
-    index = index.at[jnp.where(do_split & ~c1_open, c1, cap)].set(c1_leaf_idx, mode="drop")
+    child_leaf_idx = jnp.where(side1, c1_leaf_idx[src], c0_leaf_idx[src])
+    child_open = jnp.where(side1, c1_open[src], c0_open[src])
+    index = jnp.where(is_child & ~child_open, child_leaf_idx, index)
 
     # Open nodes that did not split close as leaves
     # (reference: top_down_sah_builder.h:125).
@@ -322,20 +408,17 @@ def apply_splits(
     leaf_idx_all = Index.make_leaf(
         jnp.maximum(state.begin, 0), jnp.maximum(size_all, 1), index_dtype
     )
-    index = index.at[jnp.where(close_leaf, jnp.arange(cap), cap)].set(
-        leaf_idx_all, mode="drop"
-    )
+    index = jnp.where(close_leaf, leaf_idx_all, index)
 
-    open_ = state.open_ & ~do_split & ~close_leaf
-    open_ = open_.at[c0].set(c0_open, mode="drop")
-    open_ = open_.at[c1].set(c1_open, mode="drop")
+    open_ = jnp.where(is_child, child_open, state.open_ & ~do_split & ~close_leaf)
 
-    # --- route primitives to their child segment --------------------
+    # --- route primitives to their child segment, applying the
+    # partition permutation to (order, seg) with one sort -------------
     child_of_a = jnp.where(swap, child_base + 1, child_base)
     child_of_b = jnp.where(swap, child_base, child_base + 1)
     new_seg_val = jnp.where(gl, child_of_a[nid], child_of_b[nid])
-    seg = jnp.zeros_like(state.seg).at[new_pos].set(
-        jnp.where(act, new_seg_val, state.seg)
+    new_order, seg = inverse_permute(
+        new_pos, (state.order, jnp.where(act, new_seg_val, state.seg))
     )
 
     new_state = FrontierState(
@@ -384,4 +467,5 @@ def segment_ranks_by_value(sort_key, values, sizes_by_key, key_cap: int):
     offsets = jnp.cumsum(sizes_by_key, dtype=jnp.int32) - sizes_by_key  # exclusive
     offsets = jnp.concatenate([offsets, jnp.zeros((1,), offsets.dtype)])
     ranks_sorted = pos - offsets[jnp.minimum(key_sorted, key_cap)]
-    return jnp.zeros((n,), jnp.int32).at[pos_sorted].set(ranks_sorted)
+    (ranks,) = inverse_permute(pos_sorted, (ranks_sorted,))
+    return ranks

@@ -75,8 +75,7 @@ def _round(state, extras, bb_min, bb_max, centers, config: TopDownConfig):
 
     # ---- exact SAH over every split position, per axis --------------
     # (reference: find_best_split, 68-101, without the serial early-exit)
-    node_best_cost = []
-    node_best_pos = []
+    axis_costs = []
     for axis in range(dim):
         pid = orders[axis]
         pmn = bb_min[pid]
@@ -94,25 +93,35 @@ def _round(state, extras, bb_min, bb_max, centers, config: TopDownConfig):
         )
         cost = jnp.where(act & (pos + 1 < end_p), cost, inf)
         cost = jnp.where(jnp.isnan(cost), inf, cost)
+        axis_costs.append(cost)
 
-        best_c = jnp.full((cap,), inf, dtype).at[jnp.where(act, nid, cap)].min(
-            cost, mode="drop"
-        )
-        is_best = act & (cost == best_c[nid]) & (cost < inf)
-        best_p = jnp.full((cap,), n, jnp.int32).at[
-            jnp.where(is_best, nid, cap)
-        ].min(pos + 1, mode="drop")  # smallest position ties first
-        node_best_cost.append(best_c)
-        node_best_pos.append(best_p)
+    # Per-node (cost, split position) via a flagged segmented
+    # lexicographic-min scan over all axes at once, read at each
+    # segment's last position (scatter-free; smallest position wins
+    # ties, the reference's strict-< scan order).
+    cost_nd = jnp.stack(axis_costs, axis=1)
+    pos_nd = jnp.broadcast_to((pos + 1)[:, None], (n, dim))
+    heads = pos == begin_p
+
+    def comb(a, b):
+        fa, ca, pa = a
+        fb, cb, pb = b
+        take_b = fb[:, None] | (cb < ca) | ((cb == ca) & (pb < pa))
+        return fa | fb, jnp.where(take_b, cb, ca), jnp.where(take_b, pb, pa)
+
+    _, sc, sp = jax.lax.associative_scan(comb, (heads, cost_nd, pos_nd), axis=0)
+    last = jnp.clip(state.end - 1, 0, n - 1)
+    bc = sc[last]  # [cap, dim]
+    bp = sp[last]
 
     # Lexicographic combine across axes (axis-ascending, strict <).
-    best_cost = node_best_cost[0]
+    best_cost = bc[:, 0]
     best_axis = jnp.zeros((cap,), jnp.int32)
-    best_pos = node_best_pos[0]
+    best_pos = bp[:, 0]
     for axis in range(1, dim):
-        better = node_best_cost[axis] < best_cost
-        best_cost = jnp.where(better, node_best_cost[axis], best_cost)
-        best_pos = jnp.where(better, node_best_pos[axis], best_pos)
+        better = bc[:, axis] < best_cost
+        best_cost = jnp.where(better, bc[:, axis], best_cost)
+        best_pos = jnp.where(better, bp[:, axis], best_pos)
         best_axis = jnp.where(better, axis, best_axis)
 
     # ---- split / leaf / fallback decision (try_split, 108-124) ------
@@ -130,12 +139,19 @@ def _round(state, extras, bb_min, bb_max, centers, config: TopDownConfig):
     split_pos = jnp.where(use_fb, (state.begin + state.end + 1) // 2, best_pos)
 
     # ---- mark primitives on the split axis (103-106) -----------------
-    marks = jnp.zeros((n,), bool)
-    for axis in range(dim):
-        sel = act & (split_axis[nid] == axis)
-        marks = marks.at[jnp.where(sel, orders[axis], n)].set(
-            pos < split_pos[nid], mode="drop"
-        )
+    # Scatter-free: invert each axis ordering with one sort, then every
+    # prim reads its position in its node's split-axis ordering and
+    # compares against the node's split position.
+    inv0, nid_by_prim = frontier.inverse_permute(orders[0], (pos, nid))
+    invs = [inv0]
+    for axis in range(1, dim):
+        (inva,) = frontier.inverse_permute(orders[axis], (pos,))
+        invs.append(inva)
+    ax_q = split_axis[nid_by_prim]
+    pos_q = invs[0]
+    for axis in range(1, dim):
+        pos_q = jnp.where(ax_q == axis, invs[axis], pos_q)
+    marks = pos_q < split_pos[nid_by_prim]
 
     goes_left = [marks[orders[axis]] for axis in range(dim)]
     new_state, new_extras = frontier.apply_splits(

@@ -17,13 +17,21 @@ import jax
 import jax.numpy as jnp
 
 
+def sync(r):
+    """block_until_ready does NOT block on the axon platform; force a
+    host readback of one scalar to serialize."""
+    leaf = jax.tree.leaves(r)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+    return r
+
+
 def timeit(name, fn, *args, reps=5):
     try:
-        r = jax.block_until_ready(fn(*args))
+        r = sync(fn(*args))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = jax.block_until_ready(fn(*args))
+            r = sync(fn(*args))
             ts.append(time.perf_counter() - t0)
         ts.sort()
         print(f"  {name:42s} {ts[len(ts)//2]*1e3:9.2f} ms", flush=True)
@@ -101,6 +109,11 @@ def main():
         _, v = jax.lax.associative_scan(comb, (heads, vals[:, :12]), axis=0)
         return v
 
+    # Harness sanity: known-FLOPs matmul. 8192^3*2 = 1.1 TFLOP; if this
+    # reads ~0, block_until_ready is lying and all numbers are dispatch.
+    m = jnp.ones((8192, 8192), jnp.bfloat16)
+    timeit("sanity matmul 8192^3 bf16 (~3 ms real)",
+           jax.jit(lambda a: a @ a), m)
     timeit("scatter-add n->bins [f,3,8]", scatter_add, f, b)
     timeit("scatter-min n->bins [f,3,8,3]", scatter_min, f, b, pb)
     timeit("scatter-set permutation [n,3]", scatter_set_perm, perm, pb)
@@ -133,6 +146,16 @@ def main():
             s = round_j(s)
         jax.block_until_ready(s)
         timeit("round 15 (wide frontier)", round_j, s)
+
+        # 8 rounds chained in ONE jit: separates per-call dispatch
+        # overhead from real per-round device time.
+        @jax.jit
+        def rounds8(s):
+            return jax.lax.fori_loop(
+                0, 8, lambda i, st: _round(st, bb_min, bb_max, centers, cfg), s
+            )
+
+        timeit("8 chained rounds (one jit)", rounds8, state0)
 
     print("== full builds ==", flush=True)
     from bvh_tpu.build.minitree import MiniTreeConfig, build_minitree
