@@ -1,0 +1,72 @@
+"""TPU build throughput benchmark (forced-readback timing).
+
+usage: python tools/bench_build.py [--n 262144 10000000] [--minitree]
+Run ALONE (single TPU process).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, nargs="*", default=[262_144])
+    ap.add_argument("--minitree", action="store_true")
+    ap.add_argument("--binned", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bvh_tpu.build.lbvh import build_lbvh
+    from bvh_tpu.io.scenes import sponza_class
+
+    def sync(r):
+        leaf = jax.tree.leaves(r)[0]
+        np.asarray(jax.device_get(leaf.ravel()[0]))
+        return r
+
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+
+    for n in args.n:
+        tris = sponza_class(n, seed=0)
+        bb_min = jnp.asarray(tris.min(axis=1))
+        bb_max = jnp.asarray(tris.max(axis=1))
+        centers = jnp.asarray(tris.mean(axis=1))
+
+        fns = [("lbvh", jax.jit(build_lbvh))]
+        if args.minitree:
+            from bvh_tpu.build.minitree import MiniTreeConfig, build_minitree
+            fns.append(("minitree", jax.jit(
+                lambda a, b, c: build_minitree(a, b, c, MiniTreeConfig()))))
+        if args.binned:
+            from bvh_tpu.build.binned import build_binned
+            fns.append(("binned", jax.jit(build_binned)))
+
+        for name, fn in fns:
+            try:
+                t0 = time.perf_counter()
+                bvh = sync(fn(bb_min, bb_max, centers))
+                t_compile = time.perf_counter() - t0
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    bvh = sync(fn(bb_min, bb_max, centers))
+                    ts.append(time.perf_counter() - t0)
+                ts.sort()
+                dt = ts[len(ts) // 2]
+                print(f"n={n:>9} {name:9s}: {n/dt/1e6:8.3f} Mprims/s "
+                      f"({dt*1e3:8.1f} ms, compile {t_compile:.1f}s, "
+                      f"{int(bvh.node_count)} nodes)", flush=True)
+            except Exception as e:
+                print(f"n={n:>9} {name:9s}: FAILED {str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
