@@ -166,8 +166,13 @@ def _round(state: frontier.FrontierState, bb_min, bb_max, centers, config: TopDo
         sizes_by_key = jnp.where(use_fb[node_f_c] & (node_f < cap), size_f, 0)
         return frontier.segment_ranks_by_value(key, vals, sizes_by_key, f_cap)
 
+    # The false branch derives its zeros from the (device-varying)
+    # center data rather than a fresh constant so both cond branches
+    # have the same varying-axes type when this round runs inside
+    # shard_map (par/minitree_sharded.py).
     ranks = jax.lax.cond(
-        jnp.any(use_fb), fb_ranks, lambda: jnp.zeros((n,), jnp.int32)
+        jnp.any(use_fb), fb_ranks,
+        lambda: (center_on_axis * 0).astype(jnp.int32),
     )
     # Left count of a median split: (size + 1) // 2
     # (reference: fallback mid = (begin + end + 1) / 2).

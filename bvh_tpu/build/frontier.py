@@ -98,6 +98,7 @@ def init_forest(
     group_end,
     min_leaf_size: int,
     node_capacity: int,
+    force_closed=None,
 ) -> FrontierState:
     """Create a forest of root segments: root g owns positions
     [group_begin[g], group_end[g]) of `order`. Used by the mini-tree
@@ -141,6 +142,13 @@ def init_forest(
     )
     index = jnp.where(leaf_now, leaf_word, index)
 
+    open_ = is_root & (sizes_p > min_leaf_size)
+    if force_closed is not None:
+        # Roots that must never open or be referenced (e.g. the padding
+        # pseudo-group of a per-device shard, par/minitree_sharded.py).
+        fc = jnp.zeros((cap,), bool).at[:g_cap].set(force_closed)
+        open_ = open_ & ~fc
+
     return FrontierState(
         order=order.astype(jnp.int32),
         seg=gid,
@@ -148,7 +156,7 @@ def init_forest(
         index=index,
         begin=begin_p,
         end=end_p,
-        open_=is_root & (sizes_p > min_leaf_size),
+        open_=open_,
         node_count=jnp.asarray(g_cap, jnp.int32),
     )
 

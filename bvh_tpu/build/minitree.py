@@ -194,12 +194,45 @@ def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None
     else:
         pruned_root = real_root
 
+    # ---- canonical tid-major ordering --------------------------------
+    # Splice roots and node pairs are ordered by (mini-tree id, forest
+    # slot). Per-tree slot order equals per-tree allocation order, which
+    # is identical whether the forest was built in one global
+    # level-synchronous loop or per-device local loops (a tree's
+    # allocations are a subsequence preserved under interleaving), so
+    # the sharded build (par/mesh.py) produces bit-identical output.
+    parents_f2 = jnp.zeros((forest_cap,), jnp.int32)
+    lch2 = jnp.where(inner_f, first_f, forest_cap)
+    rch2 = jnp.where(inner_f, first_f + 1, forest_cap)
+    parents_f2 = parents_f2.at[lch2].set(ids_f, mode="drop")
+    parents_f2 = parents_f2.at[rch2].set(ids_f, mode="drop")
+
+    def tid_cond(st):
+        done, _ = st
+        return jnp.any(valid_f & ~done)
+
+    def tid_body(st):
+        done, tid = st
+        p = parents_f2
+        can = valid_f & ~done & done[p]
+        tid = jnp.where(can, tid[p], tid)
+        return done | can, tid
+
+    tid0 = jnp.where(is_root_slot, ids_f, 0)
+    done0t = ~valid_f | is_root_slot
+    _, tid_f = jax.lax.while_loop(tid_cond, tid_body, (done0t, tid0))
+
     # ---- step 6: sweep top tree over splice-root bboxes --------------
-    pr_i = pruned_root.astype(jnp.int32)
-    pr_rank = jnp.cumsum(pr_i, dtype=jnp.int32) - pr_i
-    proot_of = jnp.full((g2_cap,), -1, jnp.int32).at[
-        jnp.where(pruned_root, pr_rank, g2_cap)
-    ].set(ids_f, mode="drop")
+    pr_key = jnp.where(pruned_root, tid_f, forest_cap)
+    pr_sorted_key, pr_sorted_slot = jax.lax.sort(
+        (pr_key, ids_f), num_keys=2
+    )
+    num_pr = jnp.sum(pruned_root.astype(jnp.int32))
+    proot_of = jnp.where(
+        jnp.arange(g2_cap, dtype=jnp.int32) < num_pr,
+        pr_sorted_slot[:g2_cap],
+        -1,
+    )
     real2 = proot_of >= 0
     pr_rows = forest.bounds[jnp.clip(proot_of, 0, forest_cap - 1)]
     pr_mn, pr_mx = pr_rows[:, 0::2], pr_rows[:, 1::2]
@@ -231,12 +264,6 @@ def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None
         done, _ = st
         return jnp.any(valid_f & ~done)
 
-    parents_f2 = jnp.zeros((forest_cap,), jnp.int32)
-    lch2 = jnp.where(inner_f, first_f, forest_cap)
-    rch2 = jnp.where(inner_f, first_f + 1, forest_cap)
-    parents_f2 = parents_f2.at[lch2].set(ids_f, mode="drop")
-    parents_f2 = parents_f2.at[rch2].set(ids_f, mode="drop")
-
     def sb_body(st):
         done, below = st
         p = parents_f2
@@ -257,8 +284,16 @@ def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None
         pair_base < forest.node_count
     )
     pl_i = pair_live.astype(jnp.int32)
-    pair_rank = jnp.cumsum(pl_i, dtype=jnp.int32) - pl_i
     live_pairs = jnp.sum(pl_i, dtype=jnp.int32)
+    # Canonical pair order: (tid, slot) — see the tid-major note above.
+    pair_tid = tid_f[jnp.clip(pair_base, 0, forest_cap - 1)]
+    pair_key = jnp.where(pair_live, pair_tid, forest_cap)
+    _, _, pair_sorted = jax.lax.sort(
+        (pair_key, pair_base, pair_ids), num_keys=2
+    )
+    pair_rank = jnp.zeros((n_pairs,), jnp.int32).at[pair_sorted].set(
+        jnp.arange(n_pairs, dtype=jnp.int32)
+    )
 
     def remap_forest_index(words):
         """Child-pair base b (always >= g_cap, parity-aligned) moves to

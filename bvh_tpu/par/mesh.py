@@ -19,8 +19,6 @@ simply running the same jitted functions on one device.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,35 +80,6 @@ def intersect_tris_sharded(
     return jax.tree.map(lambda x: x[:n_rays], hit)
 
 
-def build_minitree_sharded(bb_min, bb_max, centers, mesh: Mesh, config=None):
-    """Mini-tree build over a mesh.
-
-    Round-1 implementation: the level-synchronous forest build is one
-    XLA program; sharding the primitive arrays over the mesh lets XLA
-    partition the per-level scatters/scans (GSPMD) with all-reduces for
-    the segment reductions over ICI. The inputs shard by primitive; the
-    output BVH is replicated.
-    """
-    from bvh_tpu.build.minitree import build_minitree
-
-    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-    replicated = NamedSharding(mesh, P())
-    n = centers.shape[0]
-    pad = (-n) % mesh.devices.size
-    if pad:
-        # Padding prims would change the build; require divisibility for
-        # the sharded path and fall back to replicated inputs otherwise.
-        bb_min = jax.device_put(bb_min, replicated)
-        bb_max = jax.device_put(bb_max, replicated)
-        centers = jax.device_put(centers, replicated)
-    else:
-        bb_min = jax.device_put(bb_min, sh)
-        bb_max = jax.device_put(bb_max, sh)
-        centers = jax.device_put(centers, sh)
-    out_shardings = jax.tree.map(lambda _: replicated, jax.eval_shape(
-        partial(build_minitree, config=config), bb_min, bb_max, centers
-    ))
-    built = jax.jit(
-        partial(build_minitree, config=config), out_shardings=out_shardings
-    )(bb_min, bb_max, centers)
-    return built
+# Real per-device tile-forest decomposition (shard_map + collectives),
+# bit-identical to the single-device build.
+from bvh_tpu.par.minitree_sharded import build_minitree_sharded  # noqa: E402,F401

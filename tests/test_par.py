@@ -58,3 +58,43 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def _bvh_prefix_equal(a, b):
+    """Content equality over the valid prefix (array capacities may
+    differ between builders, like the reference's operator== comparing
+    vectors, bvh.h:30-31)."""
+    na, nb = int(a.node_count), int(b.node_count)
+    assert na == nb, (na, nb)
+    np.testing.assert_array_equal(
+        np.asarray(a.index[:na]), np.asarray(b.index[:nb])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.bounds[:na]), np.asarray(b.bounds[:nb])
+    )
+    np.testing.assert_array_equal(np.asarray(a.prim_ids), np.asarray(b.prim_ids))
+    assert int(a.prim_count) == int(b.prim_count)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pruning", [False, True])
+def test_sharded_minitree_bit_identical(mesh, pruning):
+    """The shard_map tile-forest build must equal the single-device
+    mini-tree build array-for-array (SURVEY.md section 5.8; the
+    reference sorts ids per task for the same determinism,
+    mini_tree_builder.h:122-124)."""
+    from bvh_tpu.build.minitree import MiniTreeConfig, build_minitree
+    from bvh_tpu.par.minitree_sharded import build_minitree_sharded
+
+    rng = np.random.default_rng(11)
+    n = 6000  # non-divisible by 8, multiple morton groups
+    base = rng.random((n, 1, 3)).astype(np.float32)
+    edge = (rng.random((n, 2, 3)).astype(np.float32) - 0.5) * 0.05
+    tris = np.concatenate([base, base + edge], axis=1)
+    mn, mx, centers, _ = scene_arrays(tris)
+    cfg = MiniTreeConfig(enable_pruning=pruning, parallel_threshold=256,
+                         log2_grid_dim=2)
+
+    single = build_minitree(mn, mx, centers, cfg)
+    sharded = build_minitree_sharded(mn, mx, centers, mesh, cfg)
+    _bvh_prefix_equal(single, sharded)
