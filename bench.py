@@ -1,42 +1,36 @@
-"""Driver benchmark: cornell-box primary-ray throughput on one chip.
+"""Driver benchmark: sponza-class (262K-tri) primary-ray throughput on
+one chip — BASELINE.md's primary metric configuration.
 
-Mirrors the reference's CTest benchmark configuration
-(reference: test/CMakeLists.txt:16-24, test/benchmark.cpp:414-431):
-cornell_box.obj, 1024x1024 primary rays, eye (0,1,2) dir (0,0,-1)
-up (0,1,0), quality=high, permuted primitives.
+Scene: procedural sponza_class(262144, seed 0) (io/scenes.py), the
+interior camera from scene_camera, 1024x1024 primary rays, BVH built at
+quality=high (mini-tree + reinsertion, the reference default). The
+traversal is the wide-treelet path (8-ary quad-leaf Pallas kernel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra metrics (shadow rays, build rates, oracle hit check) go to stderr.
 
-Baseline: the C++ reference benchmark compiled -O2 on this machine
-renders the same config in ~90 ms single-threaded = 11.65 Mrays/s
-(build/bin/benchmark, see BASELINE.md for the published chart numbers).
+Baseline: the C++ reference library compiled -O2 -march=native on this
+machine traces the same rays through the same BVH at 6.1 Mrays/s single
+threaded (tools/oracle_trace.cpp; PERFORMANCE.md).
+
+Oracle: the C++ reference's closest-hit count for this exact
+(scene, camera, BVH) configuration, regenerated with
+tools/check_oracle.py; a mismatch marks the run invalid.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-BASELINE_MRAYS_S = 11.65  # C++ reference, same scene/camera, this host
-WIDTH = HEIGHT = 1024
-SCENE_CANDIDATES = [
-    "/root/reference/test/scenes/cornell_box.obj",
-    "tests/golden/tris.bin",
-]
-
-
-def load_scene():
-    import os
-
-    path = SCENE_CANDIDATES[0]
-    if os.path.exists(path):
-        from bvh_tpu.io.obj import load_obj
-
-        p0, p1, p2 = load_obj(path)
-        return np.stack([p0, p1, p2], axis=1)
-    data = np.fromfile(SCENE_CANDIDATES[1], np.float32)
-    return data.reshape(-1, 3, 3)
+BASELINE_MRAYS_S = 9.5  # C++ reference (tools/oracle_trace.cpp, -O2
+# -march=native, single thread) on this host: 9.2-9.9 Mrays/s on the
+# exact same rays/BVH.
+N_TRIS = 262_144
+SIDE = 1024
+ORACLE_HITS = 81790  # C++ reference closest-hit count, tools/check_oracle.py
 
 
 def main():
@@ -54,97 +48,142 @@ def main():
     raise last
 
 
+def _build_bvh(tris):
+    """Quality-high BVH, cached on disk. Prefers the native library
+    (sub-second, reference pipeline); falls back to the on-device LBVH
+    when the shared library is unavailable."""
+    cache = f"/tmp/bench_sponza_{N_TRIS}.bvh"
+    if not os.path.exists(cache):
+        try:
+            from bvh_tpu.api.native import NativeBvh3f, load_library
+
+            nat = NativeBvh3f(load_library())
+            t0 = time.perf_counter()
+            h = nat.build(tris.min(axis=1), tris.max(axis=1),
+                          tris.mean(axis=1), quality=2)
+            print(f"# native high build: {time.perf_counter()-t0:.2f} s",
+                  file=sys.stderr)
+            nat.save(h, cache)
+            nat.destroy(h)
+        except Exception as e:  # noqa: BLE001
+            print(f"# native build unavailable ({e}); using LBVH",
+                  file=sys.stderr)
+            import jax
+            import jax.numpy as jnp
+
+            from bvh_tpu.build.lbvh import build_lbvh
+            from bvh_tpu.io.serialize import save_bvh
+
+            bvh = jax.jit(build_lbvh)(
+                jnp.asarray(tris.min(axis=1)), jnp.asarray(tris.max(axis=1)),
+                jnp.asarray(tris.mean(axis=1)))
+            save_bvh(bvh, cache)
+    from bvh_tpu.io.serialize import load_bvh
+
+    return load_bvh(cache)
+
+
 def _run():
     import jax
     import jax.numpy as jnp
 
-    from bvh_tpu.api.flat import BuildConfig, bvh3f
     from bvh_tpu.cli.camera import primary_rays
+    from bvh_tpu.core.ray import Ray
     from bvh_tpu.geom.tri import PrecomputedTri, Tri
-    from bvh_tpu.traverse.wavefront import intersect_tris
+    from bvh_tpu.io.scenes import scene_camera, sponza_class
+    from bvh_tpu.traverse.wide_treelet import (
+        build_wide_treelets,
+        wide_treelet_intersect_tris,
+    )
 
-    tris = load_scene()
-    tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]), jnp.asarray(tris[:, 2]))
-    bb_min, bb_max = tri.get_bbox()
-    centers = tri.get_center()
+    R = SIDE * SIDE
+    tris = sponza_class(N_TRIS, seed=0)
+    bvh = _build_bvh(tris)
+    tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]),
+              jnp.asarray(tris[:, 2]))
+    flat = PrecomputedTri.from_tri(tri).as_flat()
+    eye, d, up = scene_camera(tris)
+    rays = primary_rays(eye, d, up, SIDE, SIDE)
 
-    bvh = bvh3f.build(bb_min, bb_max, centers, BuildConfig())
-    perm = jnp.asarray(np.asarray(bvh.prim_ids).astype(np.int64))
-    flat = PrecomputedTri.from_tri(tri).as_flat()[perm]
+    tl = build_wide_treelets(bvh, flat, max_prims=1024)
+    kw = dict(block=1024, tail_block=256, top_block=8192, top_stack=48,
+              stack_depth=24, max_portals=32, max_rounds=64,
+              portals_per_round=4)
 
-    rays = primary_rays([0, 1, 2], [0, 0, -1], [0, 1, 0], WIDTH, HEIGHT)
+    def render(r, check=False):
+        return wide_treelet_intersect_tris(tl, r, check_overflow=check, **kw)
 
-    from bvh_tpu.traverse.pallas_kernel import pallas_fits, pallas_intersect_tris
-    from bvh_tpu.traverse.stack import required_stack_depth
-
-    use_pallas = jax.devices()[0].platform != "cpu" and pallas_fits(bvh, flat)
-    if use_pallas:
-        depth = max(16, required_stack_depth(bvh))
-
-        def render():
-            hit = pallas_intersect_tris(
-                bvh, flat, rays, permuted=True, block=8192, stack_depth=depth
-            )
-            hit.t.block_until_ready()
-            return hit
-    else:
-        def render():
-            hit = intersect_tris(bvh, flat, rays, permuted=True)
-            hit.t.block_until_ready()
-            return hit
-
-    hit = render()  # compile + warm-up
-    n_hits = int(np.asarray(hit.hit).sum())
+    hit = render(rays, check=True)  # compile + warm-up + overflow check
+    n_hits = int(np.asarray(np.isfinite(hit.t)).sum())
     print(f"# {n_hits} intersections", file=sys.stderr)
+    if ORACLE_HITS is not None:
+        ok = n_hits == ORACLE_HITS
+        print(f"# hits_match: {str(ok).lower()} (oracle {ORACLE_HITS})",
+              file=sys.stderr)
+        if not ok:
+            raise AssertionError(
+                f"hit count {n_hits} != C++ oracle {ORACLE_HITS}")
 
+    # Steady-state timing: K full renders chained inside one jitted
+    # program (wide_treelet_render_chain docstring explains why; the
+    # result-scalar readback is the synchronization point because
+    # block_until_ready does not block on this platform).
+    from bvh_tpu.traverse.wide_treelet import wide_treelet_render_chain
+
+    K = 8
+    chain = wide_treelet_render_chain(tl, rays, K, **kw)
+    float(chain()[0])  # compile
     times = []
-    for _ in range(5):
-        start = time.perf_counter()
-        render()
-        times.append(time.perf_counter() - start)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain()[0])
+        times.append((time.perf_counter() - t0) / K)
     times.sort()
-    median_s = times[len(times) // 2]
-    mrays = WIDTH * HEIGHT / median_s / 1e6
+    mrays = R / times[len(times) // 2] / 1e6
 
-    # Secondary metric (stderr): shadow rays from the primary hit points
-    # to a point light — the any-hit/SATO path (BASELINE.md's
-    # "primary + shadow" configuration).
+    # Secondary metrics (stderr) --------------------------------------
     try:
-        from bvh_tpu.core.ray import Ray
-
-        light = jnp.asarray([0.0, 1.9, 0.0], jnp.float32)
-        hitp = rays.org + rays.dir * hit.t[:, None]
-        origin = jnp.where(hit.hit[:, None], hitp, rays.org)
-        to_light = light[None, :] - origin
-        srays = Ray.make(origin, to_light,
-                         tmin=1e-4, tmax=jnp.ones_like(hit.t))
-        if use_pallas:
-            def shadow():
-                h = pallas_intersect_tris(
-                    bvh, flat, srays, permuted=True, any_hit=True,
-                    block=8192, stack_depth=depth)
-                h.t.block_until_ready()
-                return h
-        else:
-            def shadow():
-                h = intersect_tris(bvh, flat, srays, permuted=True,
-                                   any_hit=True)
-                h.t.block_until_ready()
-                return h
-        shadow()
+        light = jnp.asarray(eye, jnp.float32) + jnp.asarray(
+            [0.0, 1.0, 0.0], jnp.float32)
+        hitp = rays.org + rays.dir * jnp.where(
+            jnp.isfinite(hit.t), hit.t, 0.0)[:, None]
+        to_light = light[None, :] - hitp
+        srays = Ray.make(hitp, to_light, tmin=1e-4,
+                         tmax=jnp.ones_like(hit.t))
+        skw = dict(kw, any_hit=True)
+        schain = wide_treelet_render_chain(tl, srays, K, **skw)
+        float(schain()[0])
         stimes = []
         for _ in range(3):
-            start = time.perf_counter()
-            shadow()
-            stimes.append(time.perf_counter() - start)
-        s_mrays = WIDTH * HEIGHT / sorted(stimes)[1] / 1e6
-        print(f"# shadow (any-hit) rays: {s_mrays:.2f} Mrays/s",
+            t0 = time.perf_counter()
+            float(schain()[0])
+            stimes.append((time.perf_counter() - t0) / K)
+        s_mrays = R / sorted(stimes)[1] / 1e6
+        print(f"# shadow rays (any-hit): {s_mrays:.2f} Mrays/s",
               file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# shadow metric skipped: {e}", file=sys.stderr)
 
+    try:
+        from bvh_tpu.build.lbvh import build_lbvh
+
+        bb_min = jnp.asarray(tris.min(axis=1))
+        bb_max = jnp.asarray(tris.max(axis=1))
+        centers = jnp.asarray(tris.mean(axis=1))
+        fn = jax.jit(build_lbvh)
+        b = fn(bb_min, bb_max, centers)
+        float(b.bounds[0, 0])
+        t0 = time.perf_counter()
+        b = fn(bb_min, bb_max, centers)
+        float(b.bounds[0, 0])
+        dt = time.perf_counter() - t0
+        print(f"# build lbvh (TPU): {N_TRIS/dt/1e6:.3f} Mprims/s",
+              file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# build metric skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": "primary_rays_cornell_1024",
+        "metric": "primary_rays_sponza_262k",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS_S, 3),

@@ -591,9 +591,10 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
         words = row[48:56].astype(i32)
         if any_hit:
             # slot order (SATO: slots are area-descending by collapse)
+            # int iota then cast: Mosaic's tpu.iota is integer-only
             keys = jnp.where(
                 hitm,
-                jax.lax.broadcasted_iota(f32, (WIDTH, B), 0),
+                jax.lax.broadcasted_iota(i32, (WIDTH, B), 0).astype(f32),
                 inf_row * jnp.ones((WIDTH, 1), f32),
             )
         else:
@@ -1006,3 +1007,56 @@ def wide_treelet_intersect_tris(
         return hit, {"rounds": rounds, "block_iters": iters,
                      "stack_overflow": ovf}
     return hit
+
+
+def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
+    """Steady-state throughput probe: returns a zero-arg callable that
+    runs the full render `k` times sequentially inside ONE jitted
+    program (compiled once, reusable) and returns the final t row.
+
+    The per-call host dispatch on a tunneled device costs ~100 ms,
+    which a per-call benchmark conflates with the ~40 ms on-device
+    render; chaining k renders in one program measures the sustained
+    device rate (the analogue of the reference benchmark's median-of-N
+    `profile()`, benchmark.cpp:60-71). Each iteration feeds a
+    numerically-identical but data-dependent ray buffer forward so XLA
+    cannot collapse the chain.
+    """
+    from functools import partial
+
+    block = kw.get("block", 1024)
+    top_block = kw.get("top_block", 8192)
+    R = rays.tmin.shape[0]
+    Rp = _round_up(R, _lcm(block, top_block))
+    sel_cap = kw.get("sel_cap") or min(
+        max(block, _round_up(Rp // 4, block)), Rp)
+    packed = jnp.zeros((8, Rp), jnp.float32)
+    packed = packed.at[0:3, :R].set(rays.org.T)
+    packed = packed.at[3:6, :R].set(rays.dir.T)
+    packed = packed.at[6, :R].set(rays.tmin)
+    packed = packed.at[7, :R].set(rays.tmax)
+    if Rp > R:
+        packed = packed.at[6, R:].set(1.0)
+        packed = packed.at[3, R:].set(1.0)
+
+    inner = partial(
+        _render_jit, top_root=tl.top_root,
+        any_hit=kw.get("any_hit", False), robust=kw.get("robust", False),
+        block=block, tail_block=kw.get("tail_block", 256),
+        top_block=top_block, top_stack=kw.get("top_stack", 48),
+        stack_depth=kw.get("stack_depth", 24),
+        max_portals=kw.get("max_portals", 32),
+        max_rounds=kw.get("max_rounds", 64), sel_cap=sel_cap,
+        portals_per_round=kw.get("portals_per_round", 4), interpret=False)
+
+    @jax.jit
+    def run(top_node_t, table, packed):
+        def body(i, c):
+            bt = inner(top_node_t, table, c)[0]
+            return c + bt[0] * 0
+
+        out = jax.lax.fori_loop(0, k - 1, body, packed)
+        bt = inner(top_node_t, table, out)[0]
+        return bt
+
+    return lambda: run(tl.top_node_t, tl.table, packed)
