@@ -105,10 +105,13 @@ def _run():
     eye, d, up = scene_camera(tris)
     rays = primary_rays(eye, d, up, SIDE, SIDE)
 
+    from bvh_tpu.traverse.wide_treelet import _lcm, _round_up
+
     tl = build_wide_treelets(bvh, flat, max_prims=1024)
+    Rp = _round_up(R, _lcm(1024, 8192))
     kw = dict(block=1024, tail_block=256, top_block=8192, top_stack=48,
               stack_depth=24, max_portals=32, max_rounds=64,
-              portals_per_round=4)
+              portals_per_round=4, sel_cap=Rp // 8)
 
     def render(r, check=False):
         return wide_treelet_intersect_tris(tl, r, check_overflow=check, **kw)
@@ -130,7 +133,7 @@ def _run():
     # block_until_ready does not block on this platform).
     from bvh_tpu.traverse.wide_treelet import wide_treelet_render_chain
 
-    K = 8
+    K = 16
     chain = wide_treelet_render_chain(tl, rays, K, **kw)
     float(chain()[0])  # compile
     times = []

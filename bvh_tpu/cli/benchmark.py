@@ -111,13 +111,22 @@ def main(argv=None):
 
     rays = primary_rays(args.eye, args.dir, args.up, args.width, args.height)
 
-    # On an accelerator, VMEM-scale scenes take the single-launch Pallas
-    # kernel (PERFORMANCE.md); everything else uses the XLA wavefront.
+    # Accelerator path selection: VMEM-scale scenes take the
+    # single-launch Pallas kernel; larger 3D/f32 scenes take the
+    # wide-treelet two-phase path; everything else (CPU, 2D/4D, f64)
+    # uses the XLA wavefront (PERFORMANCE.md).
     import jax
 
     from bvh_tpu.traverse.pallas_kernel import pallas_fits, pallas_intersect_tris
 
-    use_pallas = jax.devices()[0].platform != "cpu" and pallas_fits(bvh, flat)
+    on_accel = jax.devices()[0].platform != "cpu"
+    use_pallas = on_accel and pallas_fits(bvh, flat)
+    use_wide = (
+        on_accel
+        and not use_pallas
+        and bvh.dim == 3
+        and bvh.bounds.dtype == jnp.float32
+    )
     if use_pallas:
         def do_render():
             hit = pallas_intersect_tris(
@@ -127,6 +136,25 @@ def main(argv=None):
                 block=8192,
             )
             hit.t.block_until_ready()
+            return hit
+    elif use_wide:
+        from bvh_tpu.traverse.wide_treelet import (
+            build_wide_treelets,
+            wide_treelet_intersect_tris,
+        )
+
+        tl = build_wide_treelets(bvh, flat, permuted=args.permute_prims,
+                                 max_prims=1024)
+        wide_prim_ids = (None if args.permute_prims
+                         else np.asarray(bvh.prim_ids))
+
+        def do_render():
+            hit = wide_treelet_intersect_tris(
+                tl, rays,
+                robust=args.robust_traversal,
+                prim_ids=wide_prim_ids,
+            )
+            float(hit.t[0])  # sync (block_until_ready lies here)
             return hit
     else:
         def do_render():

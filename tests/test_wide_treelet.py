@@ -122,3 +122,31 @@ def test_robust_variant(scene):
         block=256, top_block=512, interpret=True,
     )
     _hits_match(hit, oracle, rays.tmin.shape[0])
+
+
+@pytest.mark.slow
+def test_matches_wavefront_50k():
+    """Mid-scale parity (VERDICT: the no-fast-path gap between the
+    2K-node mega-kernel and treelet scale): 50K tris, the range the
+    CLI now auto-routes to the wide-treelet path on accelerators."""
+    import jax.numpy as jnp
+    from bvh_tpu.api.flat import BuildConfig, bvh3f
+    from bvh_tpu.cli.camera import primary_rays
+    from bvh_tpu.geom.tri import PrecomputedTri, Tri
+
+    tris = sponza_class(50_000, seed=7)
+    tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]),
+              jnp.asarray(tris[:, 2]))
+    mn, mx = tri.get_bbox()
+    bvh = bvh3f.build(mn, mx, tri.get_center(), BuildConfig())
+    flat = PrecomputedTri.from_tri(tri).as_flat()
+    eye, d, up = scene_camera(tris)
+    rays = primary_rays(eye, d, up, 16, 16)
+
+    oracle = intersect_tris(bvh, flat, rays, permuted=False)
+    tl = build_wide_treelets(bvh, flat, max_prims=1024)
+    hit = wide_treelet_intersect_tris(
+        tl, rays, prim_ids=bvh.prim_ids,
+        block=256, top_block=256, interpret=True,
+    )
+    _hits_match(hit, oracle, rays.tmin.shape[0])
