@@ -81,6 +81,8 @@ class WideTreelets(NamedTuple):
     table: jnp.ndarray
     n_prims: int
     n_wide: np.ndarray
+    top_depth: int
+    wide_depth: int
 
 
 def _round_up(x, m):
@@ -138,7 +140,9 @@ def _collapse_wide(bounds, first, count, roots, tids, terminal):
     flocal = _cumcount_by(ftid)  # roots are the first wide nodes per group
     n_wide_acc = np.bincount(ftid, minlength=len(n_wide)).astype(np.int64)
 
+    n_levels = 0
     while len(froot):
+        n_levels += 1
         F = len(froot)
         slots = np.full((F, WIDTH), -1, np.int64)
         slots[:, 0] = froot
@@ -191,7 +195,7 @@ def _collapse_wide(bounds, first, count, roots, tids, terminal):
         wide_local = np.zeros(0, np.int64)
         slot_node = np.zeros((0, WIDTH), np.int64)
         child_local = np.zeros((0, WIDTH), np.int64)
-    return wide_tid, wide_local, slot_node, child_local, n_wide_acc
+    return wide_tid, wide_local, slot_node, child_local, n_wide_acc, n_levels
 
 
 def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
@@ -251,8 +255,8 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     # terminates and becomes a dense run of quad columns (SAH builders
     # emit ~1.4-prim leaves; packing whole subtrees keeps quads full).
     terminal = (~inner) | (nprims <= leaf_prims)
-    wide_tid, wide_local, slot_node, child_local, n_wide = _collapse_wide(
-        bounds, first, count, troots, np.arange(T), terminal
+    wide_tid, wide_local, slot_node, child_local, n_wide, wide_depth = (
+        _collapse_wide(bounds, first, count, troots, np.arange(T), terminal)
     )
     W = len(wide_tid)
 
@@ -409,6 +413,8 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
         table=jnp.asarray(table),
         n_prims=len(prim_ids),
         n_wide=np.asarray(n_wide[:T], np.int64),
+        top_depth=len(levels) + 1,
+        wide_depth=max(1, int(wide_depth)),
     )
 
 
@@ -926,8 +932,8 @@ def wide_treelet_intersect_tris(
     block: int = 1024,
     tail_block: int = 256,
     top_block: int = 8192,
-    top_stack: int = 48,
-    stack_depth: int = 24,
+    top_stack: int | None = None,
+    stack_depth: int | None = None,
     max_portals: int = 32,
     max_rounds: int = 64,
     sel_cap: int | None = None,
@@ -950,6 +956,12 @@ def wide_treelet_intersect_tris(
     if sel_cap is None:
         sel_cap = max(block, _round_up(Rp // 4, block))
     sel_cap = min(_round_up(sel_cap, block), Rp)
+    # Exact stack sizing by default (no silent overflow possible; an
+    # explicit smaller value is guarded by the sticky overflow flag).
+    if top_stack is None:
+        top_stack = tl.top_depth + 1
+    if stack_depth is None:
+        stack_depth = 7 * tl.wide_depth + 8
     packed = jnp.zeros((8, Rp), jnp.float32)
     packed = packed.at[0:3, :R].set(rays.org.T)
     packed = packed.at[3:6, :R].set(rays.dir.T)
@@ -1043,8 +1055,9 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         _render_jit, top_root=tl.top_root,
         any_hit=kw.get("any_hit", False), robust=kw.get("robust", False),
         block=block, tail_block=kw.get("tail_block", 256),
-        top_block=top_block, top_stack=kw.get("top_stack", 48),
-        stack_depth=kw.get("stack_depth", 24),
+        top_block=top_block,
+        top_stack=kw.get("top_stack") or tl.top_depth + 1,
+        stack_depth=kw.get("stack_depth") or 7 * tl.wide_depth + 8,
         max_portals=kw.get("max_portals", 32),
         max_rounds=kw.get("max_rounds", 64), sel_cap=sel_cap,
         portals_per_round=kw.get("portals_per_round", 4), interpret=False)
