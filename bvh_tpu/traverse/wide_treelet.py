@@ -440,37 +440,21 @@ def _sort8(keys, words):
     return kt, wt
 
 
-def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
-                 *, any_hit, robust, stack_depth):
-    """Traverse ONE wide treelet per grid block (table DMA'd by the
-    pipeline via the scalar-prefetched treelet id).
+def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
+                   *, any_hit, robust, stack_depth):
+    """The 8-wide traversal state machine over ONE treelet table.
 
-    ray rows: org(0-2), dir(3-5), tmin(6), active(7).
-    state rows: tmax(0), best_t(1), best_u(2), best_v(3), best_pos(4),
-                pair id echo(5).
-    out rows: same as state (row 5 = pair id passthrough, so the driver
-    can unsort kernel results with one payload sort instead of an
-    inverse-permutation gather), plus row 6 = iterations this block ran
-    (the traversal-stats hook, benchmark.cpp:258-267 analogue) and
-    row 7 = sticky stack-overflow flag (the SmallStack assert analogue,
+    Fresh-hit contract: best/u/v/pos start empty (inf/-1); the caller
+    merges kernel results against each ray's prior best host-side, so
+    pair payloads carry only org/dir/tmin/tmax (tmax = the ray's
+    current best, which is all the pruning needs, bvh.h:137-149).
+
+    Returns rows [1, B]: best_t, best_u, best_v, best_pos(f32), iters,
+    sticky stack-overflow flag (the SmallStack assert analogue,
     stack.h:21; overflowing lanes report instead of corrupting).
     """
-    del tid_ref
-    B = ray_ref.shape[1]
+    B = org.shape[1]
     f32, i32 = jnp.float32, jnp.int32
-    rays = ray_ref[:, :]
-    org = rays[0:3]
-    dir_ = rays[3:6]
-    tmin = rays[6:7]
-    lane_active = rays[7:8] > 0
-
-    st = state_ref[:, :]
-    tmax0 = st[0:1]
-    best0 = st[1:2]
-    u0 = st[2:3]
-    v0 = st[3:4]
-    pos0 = st[4:5].astype(i32)
-    pid_echo = st[5:6]
 
     eps = jnp.asarray(np.finfo(np.float32).eps, f32)
     big = jnp.asarray(np.finfo(np.float32).max, f32)
@@ -486,7 +470,6 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
     inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
     neg = jnp.signbit(dir_)
 
-    table = table_ref[0]
     P = table.shape[1]
 
     def fetch(idx):
@@ -507,10 +490,10 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
         jnp.zeros((1, B), i32),                # leaf_rem (quad count)
         (lane_active & (tmin <= tmax0)).astype(i32),
         tmax0,
-        best0,
-        u0,
-        v0,
-        pos0,
+        inf_row,                               # best t (fresh)
+        jnp.zeros((1, B), f32),                # best u
+        jnp.zeros((1, B), f32),                # best v
+        jnp.full((1, B), -1, i32),             # best pos
         jnp.zeros((1, B), i32),                # iterations
         jnp.zeros((1, B), i32),                # sticky stack overflow
     )
@@ -635,35 +618,144 @@ def _wide_kernel(tid_ref, table_ref, ray_ref, state_ref, out_ref,
     out = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos,
      iters, ovf) = out
+    return (best_t, best_u, best_v, best_pos.astype(f32),
+            iters.astype(f32), ovf.astype(f32))
+
+
+def _wide_kernel_pair(tid_ref, table_ref, pair_ref, out_ref,
+                      *, any_hit, robust, stack_depth, n_pairs):
+    """Reference/interpret kernel: the pair payload arrives pre-gathered
+    as a dense [10, block] BlockSpec input.
+
+    pair rows: org(0-2), dir(3-5), tmin(6), tmax(7), pair id(8),
+    valid(9). out rows: best t/u/v/pos(0-3), pair id echo(4, so the
+    driver can unsort results with one payload sort), iterations(5 —
+    the traversal-stats hook, benchmark.cpp:258-267 analogue),
+    stack-overflow flag(6), unused(7)."""
+    del tid_ref
+    pair = pair_ref[:, :]
+    active = pair[9:10] > 0
+    bt, bu, bv, pos, iters, ovf = _traverse_core(
+        table_ref[0], pair[0:3], pair[3:6], pair[6:7], pair[7:8], active,
+        any_hit=any_hit, robust=robust, stack_depth=stack_depth)
     out_ref[:, :] = jnp.concatenate(
-        [tmax, best_t, best_u, best_v, best_pos.astype(f32), pid_echo,
-         iters.astype(f32), ovf.astype(f32)],
-        axis=0,
-    )
+        [bt, bu, bv, pos, pair[8:9], iters, ovf,
+         jnp.zeros_like(bt)], axis=0)
 
 
-def _phase_b(btid, table, brays, bstate, *, block, any_hit, robust,
+def _wide_kernel_dma(tid_ref, start128_ref, off_ref, erel_ref, table_ref,
+                     data_ref, out_ref, scratch, sem,
+                     *, any_hit, robust, stack_depth, n_pairs):
+    """TPU kernel: each grid block DMAs its OWN contiguous [16, block]
+    slice of the treelet-sorted pair array (dynamic offset from the
+    scalar-prefetched start array) instead of the driver materializing
+    a [rows, n_blocks*block] gather — the gather was the single
+    largest glue cost (~7.6 ms per 1.4M lanes on this backend).
+
+    Mosaic requires provably 128-aligned dynamic lane offsets, so the
+    copy starts at start128*128 with 128 extra lanes and the residual
+    offset is applied with a dynamic lane rotate.
+
+    Lanes at j >= erel[i] fall outside the block's treelet run (block
+    windows overlap the next run; the erel bound keeps each pair
+    processed exactly once); they echo pair id n_pairs so the driver's
+    unsort slides them past every real pair."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    W = scratch.shape[2]
+    B = W - 128
+    f32, i32 = jnp.float32, jnp.int32
+    slot = jax.lax.rem(i, 2)
+
+    def copy_in(k, s):
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(start128_ref[k] * 128, W)],
+            scratch.at[s], sem.at[s])
+
+    # double buffering: block 0 fetches itself, every block prefetches
+    # its successor, so the (serial) grid hides the HBM latency behind
+    # the previous block's traversal loop
+    @pl.when(i == 0)
+    def _():
+        copy_in(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        copy_in(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    copy_in(i, slot).wait()
+    off = off_ref[i]
+    shift = jax.lax.rem(W - off, W)
+    pair = pltpu.roll(scratch[slot], shift, 1)[:, :B]
+    window = jax.lax.broadcasted_iota(i32, (1, B), 1) < erel_ref[i]
+    active = window & (pair[9:10] > 0)
+    pid = jnp.where(window, pair[8:9], jnp.asarray(float(n_pairs), f32))
+    bt, bu, bv, pos, iters, ovf = _traverse_core(
+        table_ref[0], pair[0:3], pair[3:6], pair[6:7], pair[7:8], active,
+        any_hit=any_hit, robust=robust, stack_depth=stack_depth)
+    out_ref[:, :] = jnp.concatenate(
+        [bt, bu, bv, pos, pid, iters, ovf, jnp.zeros_like(bt)], axis=0)
+
+
+def _phase_b(btid, bstart, berel, table, data, *, block, any_hit, robust,
              stack_depth, interpret):
+    """Run the wide kernel over nb blocks; `data` is the
+    [16, L+block+128] treelet-sorted pair array (HBM-resident on TPU).
+    Returns [8, nb*block].
+
+    interpret mode (CPU tests) pre-gathers the per-block slices and
+    feeds them as a BlockSpec input — same numerics, no TPU DMA
+    primitives."""
     nb = btid.shape[0]
+    n_pairs = data.shape[1] - block - 128
+    if interpret:
+        pos = bstart[:, None] + jnp.arange(block, dtype=jnp.int32)[None, :]
+        window = (jnp.arange(block, dtype=jnp.int32)[None, :]
+                  < berel[:, None])
+        gat = jnp.take(data, pos.reshape(-1), axis=1)  # [10, nb*block]
+        wflat = window.reshape(-1)
+        gat = gat.at[9].set(jnp.where(wflat, gat[9], 0.0))
+        gat = gat.at[8].set(jnp.where(wflat, gat[8], float(n_pairs)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, ROWS, table.shape[2]),
+                             lambda i, tid: (tid[i], 0, 0)),
+                pl.BlockSpec((16, block), lambda i, tid: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((8, block), lambda i, tid: (0, i)),
+        )
+        kernel = partial(_wide_kernel_pair, any_hit=any_hit, robust=robust,
+                         stack_depth=stack_depth, n_pairs=n_pairs)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, nb * block), jnp.float32),
+            interpret=True,
+        )(btid, table, gat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, ROWS, table.shape[2]),
-                         lambda i, tid: (tid[i], 0, 0)),
-            pl.BlockSpec((8, block), lambda i, tid: (0, i)),
-            pl.BlockSpec((8, block), lambda i, tid: (0, i)),
+                         lambda i, tid, st, of, er: (tid[i], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((8, block), lambda i, tid: (0, i)),
+        out_specs=pl.BlockSpec((8, block),
+                               lambda i, tid, st, of, er: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, block + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
-    kernel = partial(_wide_kernel, any_hit=any_hit, robust=robust,
-                     stack_depth=stack_depth)
+    kernel = partial(_wide_kernel_dma, any_hit=any_hit, robust=robust,
+                     stack_depth=stack_depth, n_pairs=n_pairs)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, nb * block), jnp.float32),
-        interpret=interpret,
-    )(btid, table, brays, bstate)
+    )(btid, bstart // 128, bstart % 128, berel, table, data)
 
 
 # ------------------------------------------------------------- driver
@@ -753,18 +845,19 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
         return live & (p_tid >= 0) & (p_t <= S6[0])
 
-    def round_step(S6, Rc, K, blk):
+    def round_step(S6, Rc, K, blk, scatter_back):
         """One dense pair round over up to Rc selected rays x K portals.
         `blk` is the kernel block width for this round — tail rounds
         use a narrower block so per-treelet run padding and lockstep
-        waste stay small for straggler pairs."""
+        waste stay small for straggler pairs. `scatter_back` writes
+        results back with a column scatter (cheap at tail widths,
+        ~0.4 ms at 32K cols) instead of the full-width payload sort
+        (~3.1 ms; still the winner at round-1 widths)."""
         L = K * Rc
         # worst case run padding: T tid runs + the invalid-pair run
         NBL = -(-L // blk) + T + 2
-        LL = NBL * blk
         iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
         blocks_i = jnp.arange(NBL, dtype=i32)
-        sub_i = jnp.arange(blk, dtype=i32)
 
         # -- partition: rays with a live portal to the front ------------
         key = 1 - ready_of(S6).astype(i32)
@@ -790,19 +883,28 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         validk = (wtid >= 0) & (wt <= Ssel[0][None, :]) & live[None, :]
 
         # -- dense pair list sorted by treelet id ------------------------
-        # The pair payload (13 ray/state rows + pair id + valid) rides
-        # THROUGH the sort — per-lane flat gathers cost ~7 ms/1M on this
-        # backend, a multi-operand sort ~6 ms total.
+        # The pair payload rides THROUGH the sort — per-lane flat
+        # gathers cost ~7 ms/1M on this backend, the multi-operand sort
+        # ~2.5 ms. The payload is only org/dir/tmin/tmax + id + valid
+        # (10 rows): the kernel reports fresh hits and the merge below
+        # folds them into each ray's prior best, so best/u/v/pos never
+        # enter the sort.
         keyL = jnp.where(validk, wtid, T).reshape(L)
-        data_pair = jnp.concatenate(
-            [jnp.tile(raysel, (1, K)), jnp.tile(Ssel, (1, K))], axis=0)
         pidf = iota_L.astype(f32)
         validf = validk.reshape(L).astype(f32)
-        ops = (keyL,) + tuple(data_pair[i] for i in range(13)) + (
-            pidf, validf)
+        ops = (keyL,) + tuple(
+            jnp.tile(raysel[i], (K,)) for i in range(7)) + (
+            jnp.tile(Ssel[0], (K,)), pidf, validf)
         sorted_ = jax.lax.sort(ops, num_keys=1)
         keyS = sorted_[0]
-        dataS = jnp.stack(sorted_[1:16])              # [15, L]
+        dataS = jnp.stack(sorted_[1:11])              # [10, L]
+        # blk+128 pad columns so every block's (128-aligned) DMA window
+        # is in bounds (pads: valid 0, pair id n_pairs); 16 rows because
+        # Mosaic DMA slices must be 8-aligned in the sublane dim
+        pad = jnp.zeros((10, blk + 128), f32).at[8].set(float(L))
+        dataS = jnp.concatenate([dataS, pad], axis=1)
+        dataS = jnp.concatenate(
+            [dataS, jnp.zeros((6, L + blk + 128), f32)], axis=0)
 
         # -- block-aligned run placement via scans (gather-free) ---------
         # lane_slot[i] = i + padding inserted before i's run start
@@ -822,70 +924,58 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         t_b = jnp.take(keyS, p0c)
         tid_of_block = jnp.clip(t_b, 0, T - 1)
         l0_b = jnp.take(lane_slot, p0c)
-        # invalid-pair (key T) blocks keep their lanes: the lanes are
-        # inactive (valid 0 => kernel passthrough) but their pair-id
-        # echoes keep the unsort aligned over all L pairs
+        # block i's lanes are pair positions start_b[i] + j; lanes with
+        # j >= erel_b[i] spill past the block's treelet run (they alias
+        # the next run) and are masked in-kernel. Invalid-pair (key T)
+        # runs keep their lanes so every pair id echoes exactly once.
         e_b = jnp.searchsorted(keyS, t_b, side="right").astype(i32)
-        pos_lane = ((p0_b - l0_b + blocks_i * blk)[:, None]
-                    + sub_i[None, :])                 # [NBL, blk]
-        lane_ok = (pos_lane < e_b[:, None]) & (pos_lane >= 0)
-        pos_flat = jnp.clip(pos_lane, 0, L - 1).reshape(LL)
-        okf = lane_ok.reshape(LL).astype(f32)
-
-        dataL = jnp.take(dataS, pos_flat, axis=1)     # [15, LL]
-        active = dataL[14] * okf
-        iota_LL_f = (jax.lax.broadcasted_iota(i32, (LL, 1), 0)[:, 0]
-                     + L).astype(f32)
-        pid_lane = jnp.where(okf > 0, dataL[13], iota_LL_f)
-        brays = jnp.concatenate([dataL[0:7], active[None, :]], axis=0)
-        bstate = jnp.concatenate(
-            [dataL[7:12], pid_lane[None, :], jnp.zeros((2, LL), f32)],
-            axis=0)
+        start_un = p0_b - l0_b + blocks_i * blk
+        start_b = jnp.clip(start_un, 0, L)
+        erel_b = jnp.where(start_un == start_b,
+                           jnp.maximum(e_b - start_un, 0), 0)
 
         fout = _phase_b(
-            tid_of_block, table, brays, bstate,
+            tid_of_block, start_b, erel_b, table, dataS,
             block=blk, any_hit=any_hit, robust=robust,
             stack_depth=stack_depth, interpret=interpret,
         )
 
         # -- unsort by the kernel's pair-id echo, merge K per ray --------
         so = jax.lax.sort(
-            (fout[5], fout[0], fout[1], fout[2], fout[3], fout[4]),
-            num_keys=1)
-        out_pair = jnp.stack(so[1:])[:, :L].reshape(5, K, Rc)
+            (fout[4], fout[0], fout[1], fout[2], fout[3]), num_keys=1)
+        out_pair = jnp.stack(so[1:])[:, :L].reshape(4, K, Rc)
 
-        # first-j strict-min keeps the near-to-far tie rule; invalid
-        # pairs are masked (their lanes may alias other pairs' slots)
+        # first-j strict-min keeps the near-to-far tie rule (fresh-hit
+        # kernel results fold into each ray's prior best)
         n_tmax = Ssel[0]
         n_bt, n_bu, n_bv, n_pos = Ssel[1], Ssel[2], Ssel[3], Ssel[4]
         if any_hit:
             # first-j hit wins; tmax never shrinks on any-hit
             for j in range(K):
-                hitj = validk[j] & (out_pair[4, j] >= 0) & (n_pos < 0)
-                n_bt = jnp.where(hitj, out_pair[1, j], n_bt)
-                n_bu = jnp.where(hitj, out_pair[2, j], n_bu)
-                n_bv = jnp.where(hitj, out_pair[3, j], n_bv)
-                n_pos = jnp.where(hitj, out_pair[4, j], n_pos)
+                hitj = validk[j] & (out_pair[3, j] >= 0) & (n_pos < 0)
+                n_bt = jnp.where(hitj, out_pair[0, j], n_bt)
+                n_bu = jnp.where(hitj, out_pair[1, j], n_bu)
+                n_bv = jnp.where(hitj, out_pair[2, j], n_bv)
+                n_pos = jnp.where(hitj, out_pair[3, j], n_pos)
         else:
             for j in range(K):
-                vj = validk[j]
-                n_tmax = jnp.where(vj, jnp.minimum(n_tmax, out_pair[0, j]),
-                                   n_tmax)
-                better = vj & (out_pair[1, j] < n_bt)
-                n_bt = jnp.where(better, out_pair[1, j], n_bt)
-                n_bu = jnp.where(better, out_pair[2, j], n_bu)
-                n_bv = jnp.where(better, out_pair[3, j], n_bv)
-                n_pos = jnp.where(better, out_pair[4, j], n_pos)
+                better = validk[j] & (out_pair[0, j] < n_bt)
+                n_bt = jnp.where(better, out_pair[0, j], n_bt)
+                n_bu = jnp.where(better, out_pair[1, j], n_bu)
+                n_bv = jnp.where(better, out_pair[2, j], n_bv)
+                n_pos = jnp.where(better, out_pair[3, j], n_pos)
+            n_tmax = jnp.minimum(n_tmax, n_bt)
         new6 = jnp.stack([n_tmax, n_bt, n_bu, n_bv, n_pos,
                           Ssel[5] + K])
 
-        # -- write back: values in ids order, one payload sort ------------
+        blk_iters = jnp.sum(fout[5].reshape(NBL, blk)[:, 0])
+        any_ovf = jnp.max(fout[6])
+        if scatter_back:
+            return S6.at[:, sel].set(new6), blk_iters, any_ovf
         old_tail = jnp.take(S6, ids[Rc:], axis=1)     # [6, Rp - Rc]
         rows_cat = jnp.concatenate([new6, old_tail], axis=1)
         sorted_back = jax.lax.sort(
             (ids,) + tuple(rows_cat[i] for i in range(6)), num_keys=1)
-        blk_iters = jnp.sum(fout[6].reshape(NBL, blk)[:, 0])
-        any_ovf = jnp.max(fout[7])
         return jnp.stack(sorted_back[1:]), blk_iters, any_ovf
 
     S6 = jnp.stack([
@@ -904,7 +994,7 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
     tail_cap = min(max(tail_block, _round_up(Rc1 // 8, tail_block)), Rp)
     K2 = portals_per_round
 
-    S6, it1, ov1 = round_step(S6, Rc1, K1, block)
+    S6, it1, ov1 = round_step(S6, Rc1, K1, block, scatter_back=False)
 
     def cond(c):
         k, S6, alive, it, ov = c
@@ -912,7 +1002,8 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
 
     def body(c):
         k, S6, _, it, ov = c
-        S6n, itn, ovn = round_step(S6, tail_cap, K2, tail_block)
+        S6n, itn, ovn = round_step(S6, tail_cap, K2, tail_block,
+                                   scatter_back=True)
         return (k + 1, S6n, jnp.any(ready_of(S6n)), it + itn,
                 jnp.maximum(ov, ovn))
 

@@ -44,10 +44,12 @@ def main():
     rays = primary_rays(eye, d, up, rayside, rayside)
     R = rayside * rayside
 
-    tl = wt.build_wide_treelets(bvh, flat, max_prims=1024)
-    block, top_block = 1024, 8192
+    tl = wt.build_wide_treelets(
+        bvh, flat, max_prims=int(os.environ.get("WT_MAX_PRIMS", 1024)))
+    block = int(os.environ.get("WT_BLOCK", 1024))
+    top_block = int(os.environ.get("WT_TOP_BLOCK", 8192))
     Rp = wt._round_up(R, wt._lcm(block, top_block))
-    sel_cap = Rp // 8
+    sel_cap = Rp // int(os.environ.get("WT_SEL_DIV", 8))
     packed = np.zeros((8, Rp), np.float32)
     packed[0:3, :R] = np.asarray(rays.org.T)
     packed[3:6, :R] = np.asarray(rays.dir.T)
@@ -57,9 +59,13 @@ def main():
 
     inner = partial(
         wt._render_jit, top_root=tl.top_root, any_hit=False, robust=False,
-        block=block, tail_block=256, top_block=top_block, top_stack=48,
-        stack_depth=24, max_portals=32, max_rounds=64, sel_cap=sel_cap,
-        portals_per_round=4, interpret=False)
+        block=block,
+        tail_block=int(os.environ.get("WT_TAIL_BLOCK", 256)),
+        top_block=top_block, top_stack=48,
+        stack_depth=24, max_portals=32,
+        max_rounds=int(os.environ.get("WT_MAX_ROUNDS", 64)),
+        sel_cap=sel_cap,
+        portals_per_round=int(os.environ.get("WT_K", 4)), interpret=False)
 
     @jax.jit
     def render4(top_node_t, table, packed):
