@@ -63,7 +63,10 @@ class WideTreelets(NamedTuple):
 
     top_node_t: [16, Pt]     binary pair table of the top region
                              (phase-A collect kernel format); top
-                             leaves are portal words (tid << 4 | 1).
+                             leaves are portal words (tid << 4 | 1),
+                             where tid < T names a treelet and
+                             tid >= T names super-treelet tid - T
+                             (San-Miguel-scale scenes).
     top_root:   int          top root word (static).
     table:      [T, 64, P]   per-treelet combined tables: columns
                              [0, Wn) are wide nodes (rows 0-47 child
@@ -74,6 +77,13 @@ class WideTreelets(NamedTuple):
     n_prims:    int          total primitive positions (static).
     n_wide:     np.ndarray    [T] wide-node column count per treelet
                              (host metadata; quad columns start there).
+    sup_table:  [S, 16, Ps]  per-super mid-region pair tables (phase-A2
+                             collect format, same 14-row layout as
+                             top_node_t; leaf words are GLOBAL treelet
+                             portals); [0, 16, 128] when the scene has
+                             no super level.
+    sup_depth:  int          max pair-tree depth inside any super
+                             (A2 stack sizing).
     """
 
     top_node_t: jnp.ndarray
@@ -83,6 +93,8 @@ class WideTreelets(NamedTuple):
     n_wide: np.ndarray
     top_depth: int
     wide_depth: int
+    sup_table: jnp.ndarray
+    sup_depth: int
 
 
 def _round_up(x, m):
@@ -200,14 +212,24 @@ def _collapse_wide(bounds, first, count, roots, tids, terminal):
 
 def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
                         max_prims: int = 1024,
-                        leaf_prims: int = 16) -> WideTreelets:
+                        leaf_prims: int = 16,
+                        super_prims: int | None = None) -> WideTreelets:
     """Cut `bvh` into treelets of <= max_prims primitives and pack the
     wide kernel tables. Host-side vectorized numpy, one-time per BVH
     (the TPU analogue of the reference's PrecomputedTri step).
 
     `leaf_prims`: subtrees with at most this many primitives collapse
     into dense quad leaves (must be <= 60 so the quad count fits the
-    4-bit count field of the packed word, index.h:74-78)."""
+    4-bit count field of the packed word, index.h:74-78).
+
+    `super_prims`: San-Miguel-scale scenes additionally cut the top
+    region at subtrees of <= super_prims primitives (supers). Phase A
+    then traverses only the small super-top table, recording
+    super-portals (tid >= T), and phase-A2 rounds stream each super's
+    mid-region pair table per kernel block — keeping both the resident
+    phase-A table and the per-block treelet tables at sponza-class
+    sizes regardless of scene size. None = auto (enabled when the top
+    region exceeds 4096 nodes)."""
     assert 1 <= leaf_prims <= 60
     nc = int(bvh.node_count)
     dim = bvh.dim
@@ -370,8 +392,65 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
                 table[qtid, j * 13 + d, qcol] = geo[:, j, d]
             table[qtid, j * 13 + 12, qcol] = gpos[:, j]
 
+    # ---- super level (San-Miguel scale): cut the top region ----------
+    top_all = np.nonzero(is_top)[0]
+    if super_prims is None and len(top_all) > 4096:
+        super_prims = int(max_prims
+                          * max(8, round(np.sqrt(len(top_all)))))
+    use_super = (super_prims is not None and super_prims > max_prims
+                 and bool((nprims > super_prims).any()))
+    sup_table = np.zeros((0, 16, 128), np.float32)
+    sup_depth = 1
+    sid_node = np.full(nc, -1, np.int64)
+    if use_super:
+        is_stop = is_top & (nprims > super_prims)
+        is_mid = is_top & ~is_stop
+        sroot = is_mid & ((parent < 0) | is_stop[np.clip(parent, 0, nc - 1)])
+        sroots = np.nonzero(sroot)[0]
+        S = len(sroots)
+        sid_node[sroots] = np.arange(S)
+        order_nodes = [sroots]
+        frontier = sroots
+        sup_depth = 1
+        while True:
+            kids = np.concatenate([first[frontier], first[frontier] + 1])
+            par_sid = np.tile(sid_node[frontier], 2)
+            keep = is_mid[kids]
+            kids, par_sid = kids[keep], par_sid[keep]
+            if len(kids) == 0:
+                break
+            sid_node[kids] = par_sid
+            order_nodes.append(kids)
+            frontier = kids
+            sup_depth += 1
+        mid_seq = np.concatenate(order_nodes)
+        mid_sid = sid_node[mid_seq]
+        local = _cumcount_by(mid_sid)  # stable: BFS order, roots first
+        local_of = np.full(nc, -1, np.int64)
+        local_of[mid_seq] = local
+        Ps = int(_round_up(int(np.bincount(mid_sid).max()), 128))
+
+        def word_sup(nids):
+            return np.where(
+                tid_of_root[nids] >= 0,
+                (tid_of_root[nids] << 4) | 1,
+                (2 * local_of[nids] + 1) << 4,
+            ).astype(np.float32)
+
+        l = first[mid_seq]
+        sup_rows = np.zeros((len(mid_seq), 14), np.float32)
+        sup_rows[:, 0:6] = bounds[l]
+        sup_rows[:, 6:12] = bounds[l + 1]
+        sup_rows[:, 12] = word_sup(l)
+        sup_rows[:, 13] = word_sup(l + 1)
+        sup_table = np.zeros((S, 16, Ps), np.float32)
+        sup_table[mid_sid[:, None], np.arange(14)[None, :],
+                  local[:, None]] = sup_rows
+        top_nodes = np.nonzero(is_stop)[0]
+    else:
+        top_nodes = top_all
+
     # ---- top-region binary pair table (phase-A collect format) -------
-    top_nodes = np.nonzero(is_top)[0]
     if len(top_nodes) == 0:
         top_rows = np.zeros((1, 14), np.float32)
         top_rows[0, 0:6] = bounds[0]
@@ -388,14 +467,18 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
         top_pair[top_nodes] = np.arange(len(top_nodes))
 
         def top_word(nids):
+            # treelet portal | super portal (T + sid) | inner pair
             w = np.where(
                 tid_of_root[nids] >= 0,
                 (tid_of_root[nids] << 4) | 1,
-                (2 * top_pair[nids] + 1) << 4,
+                np.where(
+                    top_pair[nids] >= 0,
+                    (2 * top_pair[nids] + 1) << 4,
+                    ((T + sid_node[nids]) << 4) | 1,
+                ),
             )
             return w.astype(np.float32)
 
-        k = np.arange(len(top_nodes))
         l = first[top_nodes]
         top_rows = np.zeros((len(top_nodes), 14), np.float32)
         top_rows[:, 0:6] = bounds[l]
@@ -407,14 +490,25 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
         top_node_t = np.zeros((16, Pt), np.float32)
         top_node_t[:14, : len(top_nodes)] = top_rows.T
 
+    # exact top-region depth (the phase-A stack bound): deepest BFS
+    # level that still contains a pair-table node, +1 root margin
+    in_region = np.zeros(nc, bool)
+    in_region[top_nodes] = True
+    top_depth = 1
+    for li, lev in enumerate(levels):
+        if in_region[lev].any():
+            top_depth = li + 2
+
     return WideTreelets(
         top_node_t=jnp.asarray(top_node_t),
         top_root=top_root,
         table=jnp.asarray(table),
         n_prims=len(prim_ids),
         n_wide=np.asarray(n_wide[:T], np.int64),
-        top_depth=len(levels) + 1,
+        top_depth=top_depth,
         wide_depth=max(1, int(wide_depth)),
+        sup_table=jnp.asarray(sup_table),
+        sup_depth=int(sup_depth) + 1,
     )
 
 
@@ -758,6 +852,247 @@ def _phase_b(btid, bstart, berel, table, data, *, block, any_hit, robust,
     )(btid, bstart // 128, bstart % 128, berel, table, data)
 
 
+# ---------------------------------------------------- phase A2 (supers)
+def _collect_core(table, org, dir_, tmin, tmax0, lane_active, root_word,
+                  *, robust, stack_depth, max_new):
+    """Binary collect over ONE pair table (14-row format): records
+    (portal word >> 4, entry t) for every portal leaf whose box the ray
+    enters. Same traversal semantics as treelet._collect_kernel, but
+    over a block-streamed table. Returns (ptid [max_new, B] as f32,
+    ptent [max_new, B], pcnt [1, B]); pcnt counts every recordable
+    portal so overflow (pcnt > max_new) is detectable exactly."""
+    B = org.shape[1]
+    f32, i32 = jnp.float32, jnp.int32
+    eps = jnp.asarray(np.finfo(np.float32).eps, f32)
+    big = jnp.asarray(np.finfo(np.float32).max, f32)
+    if robust:
+        inv_dir = 1.0 / dir_
+    else:
+        inv_dir = jnp.where(jnp.abs(dir_) <= eps,
+                            jnp.where(jnp.signbit(dir_), -big, big),
+                            1.0 / dir_)
+    inv_org = -inv_dir * org
+    ui = jax.lax.bitcast_convert_type(inv_dir, jnp.uint32)
+    padded = jax.lax.bitcast_convert_type(ui + jnp.uint32(2), f32)
+    inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
+    neg = jnp.signbit(dir_)
+    P = table.shape[1]
+
+    def fetch(idx):
+        iota = jax.lax.broadcasted_iota(i32, (P, B), 0)
+        oh = (iota == idx).astype(f32)
+        return jax.lax.dot_general(
+            table, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def slab(row6, tmax):
+        t0, t1 = tmin, tmax
+        for d in range(3):
+            lo = row6[2 * d: 2 * d + 1]
+            hi = row6[2 * d + 1: 2 * d + 2]
+            ng = neg[d:d + 1]
+            nb_ = jnp.where(ng, hi, lo)
+            fb = jnp.where(ng, lo, hi)
+            if robust:
+                tn = (nb_ - org[d:d + 1]) * inv_dir[d:d + 1]
+                tf = (fb - org[d:d + 1]) * inv_pad[d:d + 1]
+            else:
+                tn = nb_ * inv_dir[d:d + 1] + inv_org[d:d + 1]
+                tf = fb * inv_dir[d:d + 1] + inv_org[d:d + 1]
+            t0 = jnp.maximum(tn, t0)
+            t1 = jnp.minimum(tf, t1)
+        return t0, t1
+
+    state = (
+        jnp.zeros((stack_depth, B), i32),
+        jnp.zeros((1, B), i32),                    # sp
+        jnp.zeros((1, B), i32) + root_word,        # top
+        (lane_active & (tmin <= tmax0)).astype(i32),
+        jnp.full((max_new, B), -1, i32),           # portal ids
+        jnp.full((max_new, B), jnp.inf, f32),      # portal entry t
+        jnp.zeros((1, B), i32),                    # portal count
+    )
+
+    def cond(s):
+        return jnp.any(s[3] > 0)
+
+    def body(s):
+        stack, sp, top, active_i, ptid, ptent, pcnt = s
+        active = active_i > 0
+        lanes_p = jax.lax.broadcasted_iota(i32, (max_new, B), 0)
+        # a leaf top word is a portal handed down directly: record at tmin
+        top_is_leaf = (top & 15) != 0
+        rec_root = active & top_is_leaf
+        rec_row = (lanes_p == pcnt) & rec_root & (pcnt < max_new)
+        ptid = jnp.where(rec_row, top >> 4, ptid)
+        ptent = jnp.where(rec_row, tmin, ptent)
+        pcnt = jnp.where(rec_root, pcnt + 1, pcnt)
+
+        do_node = active & ~top_is_leaf
+        fid = top >> 4
+        nrow = fetch(fid >> 1)
+        idx_l = nrow[12:13].astype(i32)
+        idx_r = nrow[13:14].astype(i32)
+        tl0, tl1 = slab(nrow[0:6], tmax0)
+        tr0, tr1 = slab(nrow[6:12], tmax0)
+        hit_l = (tl0 <= tl1) & do_node
+        hit_r = (tr0 <= tr1) & do_node
+        leaf_l = (idx_l & 15) != 0
+        leaf_r = (idx_r & 15) != 0
+
+        rec_l = hit_l & leaf_l
+        rec_row = (lanes_p == pcnt) & rec_l & (pcnt < max_new)
+        ptid = jnp.where(rec_row, idx_l >> 4, ptid)
+        ptent = jnp.where(rec_row, tl0, ptent)
+        pcnt = jnp.where(rec_l, pcnt + 1, pcnt)
+        rec_r = hit_r & leaf_r
+        rec_row = (lanes_p == pcnt) & rec_r & (pcnt < max_new)
+        ptid = jnp.where(rec_row, idx_r >> 4, ptid)
+        ptent = jnp.where(rec_row, tr0, ptent)
+        pcnt = jnp.where(rec_r, pcnt + 1, pcnt)
+
+        dl = hit_l & ~leaf_l
+        dr = hit_r & ~leaf_r
+        both = dl & dr
+        swap = tl0 > tr0
+        near = jnp.where(swap, idx_r, idx_l)
+        far = jnp.where(swap, idx_l, idx_r)
+        new_top = jnp.where(both, near, jnp.where(dl, idx_l, idx_r))
+        descend = do_node & (dl | dr)
+
+        push = do_node & both
+        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
+        stack = jnp.where((lanes == sp) & push, far, stack)
+        sp = jnp.where(push, jnp.minimum(sp + 1, stack_depth), sp)
+
+        need_pop = active & ~descend
+        can_pop = need_pop & (sp > 0)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0,
+                         keepdims=True)
+        top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
+        active = active & ~(need_pop & ~can_pop)
+        return (stack, sp, top, active.astype(i32), ptid, ptent, pcnt)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out[4].astype(jnp.float32), out[5], out[6].astype(jnp.float32)
+
+
+def _sup_kernel_pair(tid_ref, table_ref, pair_ref, out_ref,
+                     *, robust, stack_depth, max_new, n_pairs):
+    """Interpret-path A2 kernel (pre-gathered pair input)."""
+    del tid_ref
+    pair = pair_ref[:, :]
+    active = pair[9:10] > 0
+    ptid, ptent, pcnt = _collect_core(
+        table_ref[0], pair[0:3], pair[3:6], pair[6:7], pair[7:8], active,
+        1 << 4, robust=robust, stack_depth=stack_depth, max_new=max_new)
+    out_ref[:, :] = jnp.concatenate(
+        [ptid, ptent, pair[8:9], pcnt], axis=0)
+
+
+def _sup_kernel_dma(tid_ref, start128_ref, off_ref, erel_ref, table_ref,
+                    data_ref, out_ref, scratch, sem,
+                    *, robust, stack_depth, max_new, n_pairs):
+    """TPU A2 kernel: per-block DMA pair fetch (see _wide_kernel_dma)."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    W = scratch.shape[2]
+    B = W - 128
+    f32, i32 = jnp.float32, jnp.int32
+    slot = jax.lax.rem(i, 2)
+
+    def copy_in(k, s):
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(start128_ref[k] * 128, W)],
+            scratch.at[s], sem.at[s])
+
+    @pl.when(i == 0)
+    def _():
+        copy_in(0, 0).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        copy_in(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+    copy_in(i, slot).wait()
+    off = off_ref[i]
+    shift = jax.lax.rem(W - off, W)
+    pair = pltpu.roll(scratch[slot], shift, 1)[:, :B]
+    window = jax.lax.broadcasted_iota(i32, (1, B), 1) < erel_ref[i]
+    active = window & (pair[9:10] > 0)
+    pid = jnp.where(window, pair[8:9], jnp.asarray(float(n_pairs), f32))
+    ptid, ptent, pcnt = _collect_core(
+        table_ref[0], pair[0:3], pair[3:6], pair[6:7], pair[7:8], active,
+        1 << 4, robust=robust, stack_depth=stack_depth, max_new=max_new)
+    out_ref[:, :] = jnp.concatenate([ptid, ptent, pid, pcnt], axis=0)
+
+
+def _phase_a2(btid, bstart, berel, sup_table, data, *, block, robust,
+              stack_depth, max_new, interpret):
+    """Run the A2 collect kernel over nb blocks, one super pair table
+    per block. Returns [2*max_new + 2, nb*block]: rows [0, max_new) =
+    recorded treelet ids (-1 empty), [max_new, 2*max_new) = entry ts,
+    then pair id echo and recordable-portal count."""
+    nb = btid.shape[0]
+    n_pairs = data.shape[1] - block - 128
+    rows_out = 2 * max_new + 2
+    if interpret:
+        pos = bstart[:, None] + jnp.arange(block, dtype=jnp.int32)[None, :]
+        window = (jnp.arange(block, dtype=jnp.int32)[None, :]
+                  < berel[:, None])
+        gat = jnp.take(data, pos.reshape(-1), axis=1)
+        wflat = window.reshape(-1)
+        gat = gat.at[9].set(jnp.where(wflat, gat[9], 0.0))
+        gat = gat.at[8].set(jnp.where(wflat, gat[8], float(n_pairs)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 16, sup_table.shape[2]),
+                             lambda i, tid: (tid[i], 0, 0)),
+                pl.BlockSpec((16, block), lambda i, tid: (0, i)),
+            ],
+            out_specs=pl.BlockSpec((rows_out, block),
+                                   lambda i, tid: (0, i)),
+        )
+        kernel = partial(_sup_kernel_pair, robust=robust,
+                         stack_depth=stack_depth, max_new=max_new,
+                         n_pairs=n_pairs)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows_out, nb * block),
+                                           jnp.float32),
+            interpret=True,
+        )(btid, sup_table, gat)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 16, sup_table.shape[2]),
+                         lambda i, tid, st, of, er: (tid[i], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((rows_out, block),
+                               lambda i, tid, st, of, er: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, block + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = partial(_sup_kernel_dma, robust=robust,
+                     stack_depth=stack_depth, max_new=max_new,
+                     n_pairs=n_pairs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows_out, nb * block),
+                                       jnp.float32),
+    )(btid, bstart // 128, bstart % 128, berel, sup_table, data)
+
+
 # ------------------------------------------------------------- driver
 def _lcm(a, b):
     return a * b // int(np.gcd(a, b))
@@ -766,11 +1101,14 @@ def _lcm(a, b):
 @partial(jax.jit, static_argnames=(
     "top_root", "any_hit", "robust", "block", "tail_block", "top_block",
     "top_stack", "stack_depth", "max_portals", "max_rounds", "sel_cap",
-    "portals_per_round", "interpret"))
-def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
+    "portals_per_round", "interpret", "sup_stack", "max_new", "k2",
+    "mps", "a2_cap"))
+def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
+                any_hit, robust,
                 block, tail_block, top_block, top_stack, stack_depth,
                 max_portals, max_rounds, sel_cap, portals_per_round,
-                interpret):
+                interpret, sup_stack=8, max_new=16, k2=2, mps=16,
+                a2_cap=None):
     """The whole render in ONE jitted call: phase-A collect, per-ray
     portal sort, and a lax.while_loop of dense pair rounds — zero host
     roundtrips until the final readback.
@@ -825,16 +1163,146 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
         interpret=interpret,
     )(top_node_t, packed, root)
 
-    # sort each ray's portals ascending by entry distance (exactness:
-    # closest-hit termination needs ascending processing, bvh.h:137-149;
-    # unused slots are (tid -1, t +inf) and sort to the end)
-    ptent, ptid = jax.lax.sort((ptent, ptid), num_keys=1, dimension=0)
-
     ray_rows = packed[0:7]  # [7, Rp]: org, dir, tmin (static per round)
     tmax0 = packed[7]
 
     iota_r = jax.lax.broadcasted_iota(i32, (Rp, 1), 0)[:, 0]
     iota_mp = jax.lax.broadcasted_iota(i32, (MP, 1), 0)
+
+    two_level = sup_table is not None and sup_table.shape[0] > 0
+    povf = jnp.zeros((), f32)
+    if not two_level:
+        # sort each ray's portals ascending by entry distance
+        # (exactness: closest-hit termination needs ascending
+        # processing, bvh.h:137-149; unused slots are (tid -1, t +inf)
+        # and sort to the end)
+        ptent, ptid = jax.lax.sort((ptent, ptid), num_keys=1, dimension=0)
+    else:
+        # ---- phase A2: expand super-portals (tid >= T) ---------------
+        S = sup_table.shape[0]
+        Rc2 = a2_cap if a2_cap is not None else sel_cap
+        is_sup = ptid >= T
+        sup_key0 = jnp.where(is_sup, ptent, jnp.inf)
+        sup_id0 = jnp.where(is_sup, ptid - T, -1)
+        sup_key, sup_id = jax.lax.sort((sup_key0, sup_id0), num_keys=1,
+                                       dimension=0)
+        povf = jnp.maximum(
+            povf, jnp.max(jnp.sum(is_sup.astype(i32), axis=0)
+                          > mps).astype(f32))
+        sup_id = sup_id[:mps]
+        main_key = jnp.where(is_sup, jnp.inf, ptent)
+        main_id = jnp.where(is_sup, -1, ptid)
+        ptent, ptid = jax.lax.sort((main_key, main_id), num_keys=1,
+                                   dimension=0)
+
+        iota_mps = jax.lax.broadcasted_iota(i32, (mps, 1), 0)
+        L2 = k2 * Rc2
+        NBL2 = -(-L2 // block) + S + 2
+        LL2 = NBL2 * block
+        iota_L2 = jax.lax.broadcasted_iota(i32, (L2, 1), 0)[:, 0]
+        iota_LL2 = jax.lax.broadcasted_iota(i32, (LL2, 1), 0)[:, 0]
+        blocks2 = jnp.arange(NBL2, dtype=i32)
+        mn = max_new
+
+        def sready_of(scur):
+            cur = scur[None, :]
+            rowmask = iota_mps == cur
+            sid = jnp.max(jnp.where(rowmask, sup_id, -1), axis=0)
+            return sid >= 0
+
+        def a2_round(carry):
+            ptid, ptent, scur, movf, k = carry
+            key = 1 - sready_of(scur).astype(i32)
+            _, ids = jax.lax.sort((key, iota_r), num_keys=1)
+            sel = ids[:Rc2]
+            raysel = jnp.take(ray_rows, sel, axis=1)
+            tmaxsel = jnp.take(tmax0, sel)
+            supid_sel = jnp.take(sup_id, sel, axis=1)      # [mps, Rc2]
+            cursel = jnp.take(scur, sel)[None, :]
+
+            wsid = []
+            for j in range(k2):
+                rm = iota_mps == cursel + j
+                wsid.append(jnp.max(jnp.where(rm, supid_sel, -1), axis=0))
+            wsid = jnp.stack(wsid)                          # [k2, Rc2]
+            validk = wsid >= 0
+
+            keyL = jnp.where(validk, wsid, S).reshape(L2)
+            pidf = iota_L2.astype(f32)
+            validf = validk.reshape(L2).astype(f32)
+            ops = (keyL,) + tuple(
+                jnp.tile(raysel[i_], (k2,)) for i_ in range(7)) + (
+                jnp.tile(tmaxsel, (k2,)), pidf, validf)
+            sorted_ = jax.lax.sort(ops, num_keys=1)
+            keyS = sorted_[0]
+            dataS = jnp.stack(sorted_[1:11])
+            pad = jnp.zeros((10, block + 128), f32).at[8].set(float(L2))
+            dataS = jnp.concatenate([dataS, pad], axis=1)
+            dataS = jnp.concatenate(
+                [dataS, jnp.zeros((6, L2 + block + 128), f32)], axis=0)
+
+            prev = jnp.concatenate([jnp.full((1,), -1, i32), keyS[:-1]])
+            flag = keyS != prev
+            run_start = jax.lax.cummax(jnp.where(flag, iota_L2, 0))
+            prev_start = jnp.concatenate(
+                [jnp.zeros((1,), i32), run_start[:-1]])
+            prev_len = jnp.where(flag, iota_L2 - prev_start, 0)
+            pad_delta = jnp.where(flag, (-prev_len) % block, 0)
+            lane_slot = iota_L2 + jnp.cumsum(pad_delta)
+            p0_b = jnp.searchsorted(
+                lane_slot, blocks2 * block, side="left").astype(i32)
+            p0c = jnp.clip(p0_b, 0, L2 - 1)
+            t_b = jnp.take(keyS, p0c)
+            sid_of_block = jnp.clip(t_b, 0, S - 1)
+            l0_b = jnp.take(lane_slot, p0c)
+            e_b = jnp.searchsorted(keyS, t_b, side="right").astype(i32)
+            start_un = p0_b - l0_b + blocks2 * block
+            start_b = jnp.clip(start_un, 0, L2)
+            erel_b = jnp.where(start_un == start_b,
+                               jnp.maximum(e_b - start_un, 0), 0)
+
+            fout = _phase_a2(
+                sid_of_block, start_b, erel_b, sup_table, dataS,
+                block=block, robust=robust, stack_depth=sup_stack,
+                max_new=mn, interpret=interpret)
+
+            # gather-unsort (34 rows: inverse-permutation gather beats a
+            # 34-operand payload sort at these widths)
+            _, invpos = jax.lax.sort(
+                (fout[2 * mn], iota_LL2.astype(f32)), num_keys=1)
+            inv = invpos.astype(i32)[:L2]
+            outP = jnp.take(fout, inv, axis=1)              # [2mn+2, L2]
+            ntid = outP[0:mn].reshape(mn, k2, Rc2)
+            nt = outP[mn:2 * mn].reshape(mn, k2, Rc2)
+            ncnt = outP[2 * mn + 1].reshape(k2, Rc2)
+            movf = jnp.maximum(
+                movf, jnp.max(jnp.where(validk, ncnt,
+                                        0.0)) > float(mn))
+            vmask = validk[None, :, :] & (ntid >= 0)
+            ntid_m = jnp.where(vmask, ntid, -1.0).reshape(mn * k2, Rc2)
+            nt_m = jnp.where(vmask, nt, jnp.inf).reshape(mn * k2, Rc2)
+
+            mainid_sel = jnp.take(ptid, sel, axis=1).astype(f32)
+            maint_sel = jnp.take(ptent, sel, axis=1)
+            cat_t = jnp.concatenate([maint_sel, nt_m], axis=0)
+            cat_id = jnp.concatenate([mainid_sel, ntid_m], axis=0)
+            cat_t, cat_id = jax.lax.sort((cat_t, cat_id), num_keys=1,
+                                         dimension=0)
+            live = jnp.sum(jnp.isfinite(cat_t).astype(i32), axis=0)
+            movf = jnp.maximum(movf, (jnp.max(live) > MP).astype(f32))
+            ptent = ptent.at[:, sel].set(cat_t[:MP])
+            ptid = ptid.at[:, sel].set(cat_id[:MP].astype(i32))
+            scur = scur.at[sel].set(cursel[0] + k2)
+            return (ptid, ptent, scur, movf, k + 1)
+
+        def a2_cond(carry):
+            return jnp.any(sready_of(carry[2])) & (carry[4] < 64)
+
+        scur0 = jnp.zeros((Rp,), i32)
+        ptid, ptent, _, movf, _ = jax.lax.while_loop(
+            a2_cond, a2_round, (ptid, ptent, scur0, jnp.zeros((), f32),
+                                jnp.asarray(0, i32)))
+        povf = jnp.maximum(povf, movf)
 
     def ready_of(S6):
         """ready ⟺ the portal at the cursor is live (entries ascend)."""
@@ -1010,7 +1478,7 @@ def _render_jit(top_node_t, table, packed, *, top_root, any_hit, robust,
     init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6)),
             it1.astype(f32), ov1)
     k, S6, _, iters, ovf = jax.lax.while_loop(cond, body, init)
-    return S6[1], S6[2], S6[3], S6[4], cnt[0], k, iters, ovf
+    return S6[1], S6[2], S6[3], S6[4], cnt[0], k, iters, ovf, povf
 
 
 def wide_treelet_intersect_tris(
@@ -1029,6 +1497,10 @@ def wide_treelet_intersect_tris(
     max_rounds: int = 64,
     sel_cap: int | None = None,
     portals_per_round: int = 4,
+    max_new: int = 16,
+    k2: int = 2,
+    mps: int = 16,
+    a2_cap: int | None = None,
     check_overflow: bool = True,
     return_diag: bool = False,
     interpret: bool = False,
@@ -1062,13 +1534,15 @@ def wide_treelet_intersect_tris(
         packed = packed.at[6, R:].set(1.0)  # tmin > tmax: inactive
         packed = packed.at[3, R:].set(1.0)
 
-    bt, bu, bv, pos_f, pcnt, rounds, iters, ovf = _render_jit(
-        tl.top_node_t, tl.table, packed,
+    bt, bu, bv, pos_f, pcnt, rounds, iters, ovf, povf = _render_jit(
+        tl.top_node_t, tl.table, packed, tl.sup_table,
         top_root=tl.top_root, any_hit=any_hit, robust=robust, block=block,
         tail_block=tail_block, top_block=top_block, top_stack=top_stack,
         stack_depth=stack_depth, max_portals=max_portals,
         max_rounds=max_rounds, sel_cap=sel_cap,
         portals_per_round=portals_per_round, interpret=interpret,
+        sup_stack=tl.sup_depth + 1, max_new=max_new, k2=k2, mps=mps,
+        a2_cap=a2_cap,
     )
     # the overflow checks read back scalars, which synchronizes the
     # whole render (~35 ms tunnel roundtrip); benchmarks that pipeline
@@ -1085,6 +1559,12 @@ def wide_treelet_intersect_tris(
             raise ValueError(
                 f"traversal stack overflow (capacity {stack_depth}); "
                 f"raise stack_depth"
+            )
+        if int(povf):
+            raise ValueError(
+                "super-portal capacity overflow (mps/max_new/max_portals"
+                " too small for this scene); raise them or rebuild with"
+                " a larger super_prims"
             )
 
     bt, bu, bv, pos_f = bt[:R], bu[:R], bv[:R], pos_f[:R]
@@ -1108,7 +1588,7 @@ def wide_treelet_intersect_tris(
     )
     if return_diag:
         return hit, {"rounds": rounds, "block_iters": iters,
-                     "stack_overflow": ovf}
+                     "stack_overflow": ovf, "portal_overflow": povf}
     return hit
 
 
@@ -1151,16 +1631,19 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         stack_depth=kw.get("stack_depth") or 7 * tl.wide_depth + 8,
         max_portals=kw.get("max_portals", 32),
         max_rounds=kw.get("max_rounds", 64), sel_cap=sel_cap,
-        portals_per_round=kw.get("portals_per_round", 4), interpret=False)
+        portals_per_round=kw.get("portals_per_round", 4), interpret=False,
+        sup_stack=tl.sup_depth + 1, max_new=kw.get("max_new", 16),
+        k2=kw.get("k2", 2), mps=kw.get("mps", 16),
+        a2_cap=kw.get("a2_cap"))
 
     @jax.jit
-    def run(top_node_t, table, packed):
+    def run(top_node_t, table, sup_table, packed):
         def body(i, c):
-            bt = inner(top_node_t, table, c)[0]
+            bt = inner(top_node_t, table, c, sup_table)[0]
             return c + bt[0] * 0
 
         out = jax.lax.fori_loop(0, k - 1, body, packed)
-        bt = inner(top_node_t, table, out)[0]
+        bt = inner(top_node_t, table, out, sup_table)[0]
         return bt
 
-    return lambda: run(tl.top_node_t, tl.table, packed)
+    return lambda: run(tl.top_node_t, tl.table, tl.sup_table, packed)

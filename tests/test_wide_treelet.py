@@ -150,3 +150,27 @@ def test_matches_wavefront_50k():
         block=256, top_block=256, interpret=True,
     )
     _hits_match(hit, oracle, rays.tmin.shape[0])
+
+
+def test_two_level_supers_match_flat(scene):
+    """The San-Miguel-scale super level (phase A1/A2) returns exactly
+    the flat scheme's hits: the super cut only changes how treelet
+    portals are discovered, never which treelets a ray enters."""
+    bvh, flat, rays = scene
+    tl_flat = build_wide_treelets(bvh, flat, max_prims=128)
+    tl_sup = build_wide_treelets(bvh, flat, max_prims=128,
+                                 super_prims=512)
+    assert tl_sup.sup_table.shape[0] > 0, "super level must engage"
+    assert tl_sup.table.shape[0] == tl_flat.table.shape[0]
+    kw = dict(prim_ids=bvh.prim_ids, block=256, top_block=256,
+              max_portals=64, interpret=True)
+    a = wide_treelet_intersect_tris(tl_flat, rays, **kw)
+    b = wide_treelet_intersect_tris(tl_sup, rays, mps=32, **kw)
+    n = rays.tmin.shape[0]
+    _hits_match(a, b, n)
+    # any-hit through the super level
+    aa = wide_treelet_intersect_tris(tl_flat, rays, any_hit=True, **kw)
+    bb = wide_treelet_intersect_tris(tl_sup, rays, any_hit=True,
+                                     mps=32, **kw)
+    assert np.array_equal(np.isfinite(np.asarray(aa.t)),
+                          np.isfinite(np.asarray(bb.t)))

@@ -1,0 +1,111 @@
+"""San-Miguel-class (10M tris) wide-treelet benchmark with the
+two-level super scheme. Run ALONE (single TPU process).
+
+Usage: python tools/bench_sanmiguel.py [--n 10000000] [--max-prims 1024]
+       [--super-prims 0=auto] [--flat]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10_000_000)
+    ap.add_argument("--rays", type=int, default=1024)
+    ap.add_argument("--max-prims", type=int, default=1024)
+    ap.add_argument("--super-prims", type=int, default=0)
+    ap.add_argument("--flat", action="store_true",
+                    help="disable the super level (round-2 flat config)")
+    ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--top-block", type=int, default=8192)
+    ap.add_argument("--max-portals", type=int, default=64)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--rc-div", type=int, default=8)
+    ap.add_argument("--chain", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bvh_tpu.build.lbvh import build_lbvh
+    from bvh_tpu.cli.camera import primary_rays
+    from bvh_tpu.geom.tri import PrecomputedTri, Tri
+    from bvh_tpu.io.scenes import scene_camera, sponza_class
+    from bvh_tpu.io.serialize import load_bvh, save_bvh
+    from bvh_tpu.traverse.wide_treelet import (
+        _lcm, _round_up, build_wide_treelets,
+        wide_treelet_intersect_tris, wide_treelet_render_chain)
+
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+    tris = sponza_class(args.n, seed=0)
+    cache = f"/tmp/bench_lbvh_{args.n}.bvh"
+    if not os.path.exists(cache):
+        t0 = time.perf_counter()
+        bvh = jax.jit(build_lbvh)(
+            jnp.asarray(tris.min(axis=1)), jnp.asarray(tris.max(axis=1)),
+            jnp.asarray(tris.mean(axis=1)))
+        float(bvh.bounds[0, 0])
+        print(f"lbvh build: {time.perf_counter()-t0:.1f} s", flush=True)
+        save_bvh(bvh, cache)
+    bvh = load_bvh(cache)
+    tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]),
+              jnp.asarray(tris[:, 2]))
+    flat = PrecomputedTri.from_tri(tri).as_flat()
+    eye, d, up = scene_camera(tris)
+    R = args.rays * args.rays
+    rays = primary_rays(eye, d, up, args.rays, args.rays)
+
+    t0 = time.perf_counter()
+    sp = (None if args.super_prims == 0 else args.super_prims)
+    if args.flat:
+        sp = 1 << 62  # larger than any subtree: super level off
+    tl = build_wide_treelets(bvh, flat, max_prims=args.max_prims,
+                             super_prims=sp)
+    print(f"treelet build: {time.perf_counter()-t0:.1f} s  "
+          f"T={tl.table.shape[0]} S={tl.sup_table.shape[0]} "
+          f"P={tl.table.shape[2]} Ps={tl.sup_table.shape[2]} "
+          f"top={tl.top_node_t.shape[1]} top_depth={tl.top_depth} "
+          f"wide_depth={tl.wide_depth} sup_depth={tl.sup_depth}",
+          flush=True)
+    print(f"table HBM: {tl.table.nbytes/1e9:.2f} GB", flush=True)
+
+    Rp = _round_up(R, _lcm(args.block, args.top_block))
+    kw = dict(block=args.block, tail_block=256, top_block=args.top_block,
+              max_portals=args.max_portals, max_rounds=64,
+              portals_per_round=args.k, sel_cap=Rp // args.rc_div,
+              mps=16, max_new=16, k2=2)
+    t0 = time.perf_counter()
+    hit, diag = wide_treelet_intersect_tris(
+        tl, rays, check_overflow=True, return_diag=True, **kw)
+    n_hits = int(np.asarray(np.isfinite(hit.t)).sum())
+    print(f"compile+run: {time.perf_counter()-t0:.1f} s", flush=True)
+    print(f"hits: {n_hits} rounds={int(diag['rounds'])} "
+          f"block_iters={int(diag['block_iters'])} "
+          f"ovf={int(diag['stack_overflow'])} "
+          f"povf={int(diag['portal_overflow'])}", flush=True)
+
+    K = args.chain
+    chain = wide_treelet_render_chain(tl, rays, K, **kw)
+    t0 = time.perf_counter()
+    float(chain()[0])
+    print(f"chain compile: {time.perf_counter()-t0:.1f} s", flush=True)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain()[0])
+        times.append((time.perf_counter() - t0) / K)
+    times.sort()
+    ms = times[1] * 1e3
+    print(f"steady render: {ms:.1f} ms = {R/times[1]/1e6:.2f} Mrays/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
