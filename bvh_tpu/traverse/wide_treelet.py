@@ -1102,13 +1102,13 @@ def _lcm(a, b):
     "top_root", "any_hit", "robust", "block", "tail_block", "top_block",
     "top_stack", "stack_depth", "max_portals", "max_rounds", "sel_cap",
     "portals_per_round", "interpret", "sup_stack", "max_new", "k2",
-    "mps", "a2_cap"))
+    "mps", "a2_cap", "max_runs", "tail_cap"))
 def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
                 any_hit, robust,
                 block, tail_block, top_block, top_stack, stack_depth,
                 max_portals, max_rounds, sel_cap, portals_per_round,
                 interpret, sup_stack=8, max_new=16, k2=2, mps=16,
-                a2_cap=None):
+                a2_cap=None, max_runs=4096, tail_cap=None):
     """The whole render in ONE jitted call: phase-A collect, per-ray
     portal sort, and a lax.while_loop of dense pair rounds — zero host
     roundtrips until the final readback.
@@ -1186,9 +1186,11 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         sup_id0 = jnp.where(is_sup, ptid - T, -1)
         sup_key, sup_id = jax.lax.sort((sup_key0, sup_id0), num_keys=1,
                                        dimension=0)
-        povf = jnp.maximum(
-            povf, jnp.max(jnp.sum(is_sup.astype(i32), axis=0)
-                          > mps).astype(f32))
+        # povf is a bitmask: 1 = super list > mps, 2 = a (ray, super)
+        # recorded > max_new treelet portals, 4 = merged portal list
+        # exceeded max_portals
+        povf = povf + jnp.max(jnp.sum(is_sup.astype(i32), axis=0)
+                              > mps).astype(f32)
         sup_id = sup_id[:mps]
         main_key = jnp.where(is_sup, jnp.inf, ptent)
         main_id = jnp.where(is_sup, -1, ptid)
@@ -1211,7 +1213,7 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             return sid >= 0
 
         def a2_round(carry):
-            ptid, ptent, scur, movf, k = carry
+            ptid, ptent, scur, rec_ovf, mrg_ovf, k = carry
             key = 1 - sready_of(scur).astype(i32)
             _, ids = jax.lax.sort((key, iota_r), num_keys=1)
             sel = ids[:Rc2]
@@ -1275,9 +1277,9 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             ntid = outP[0:mn].reshape(mn, k2, Rc2)
             nt = outP[mn:2 * mn].reshape(mn, k2, Rc2)
             ncnt = outP[2 * mn + 1].reshape(k2, Rc2)
-            movf = jnp.maximum(
-                movf, jnp.max(jnp.where(validk, ncnt,
-                                        0.0)) > float(mn))
+            rec_ovf = jnp.maximum(
+                rec_ovf, (jnp.max(jnp.where(validk, ncnt, 0.0))
+                          > float(mn)).astype(f32))
             vmask = validk[None, :, :] & (ntid >= 0)
             ntid_m = jnp.where(vmask, ntid, -1.0).reshape(mn * k2, Rc2)
             nt_m = jnp.where(vmask, nt, jnp.inf).reshape(mn * k2, Rc2)
@@ -1289,20 +1291,21 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             cat_t, cat_id = jax.lax.sort((cat_t, cat_id), num_keys=1,
                                          dimension=0)
             live = jnp.sum(jnp.isfinite(cat_t).astype(i32), axis=0)
-            movf = jnp.maximum(movf, (jnp.max(live) > MP).astype(f32))
+            mrg_ovf = jnp.maximum(mrg_ovf,
+                                  (jnp.max(live) > MP).astype(f32))
             ptent = ptent.at[:, sel].set(cat_t[:MP])
             ptid = ptid.at[:, sel].set(cat_id[:MP].astype(i32))
             scur = scur.at[sel].set(cursel[0] + k2)
-            return (ptid, ptent, scur, movf, k + 1)
+            return (ptid, ptent, scur, rec_ovf, mrg_ovf, k + 1)
 
         def a2_cond(carry):
-            return jnp.any(sready_of(carry[2])) & (carry[4] < 64)
+            return jnp.any(sready_of(carry[2])) & (carry[5] < 64)
 
         scur0 = jnp.zeros((Rp,), i32)
-        ptid, ptent, _, movf, _ = jax.lax.while_loop(
+        ptid, ptent, _, rec_ovf, mrg_ovf, _ = jax.lax.while_loop(
             a2_cond, a2_round, (ptid, ptent, scur0, jnp.zeros((), f32),
-                                jnp.asarray(0, i32)))
-        povf = jnp.maximum(povf, movf)
+                                jnp.zeros((), f32), jnp.asarray(0, i32)))
+        povf = povf + 2.0 * rec_ovf + 4.0 * mrg_ovf
 
     def ready_of(S6):
         """ready ⟺ the portal at the cursor is live (entries ascend)."""
@@ -1313,17 +1316,32 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
         return live & (p_tid >= 0) & (p_t <= S6[0])
 
-    def round_step(S6, Rc, K, blk, scatter_back):
+    def round_step(S6, Rc, K, blk, scatter_back, rot=None):
         """One dense pair round over up to Rc selected rays x K portals.
         `blk` is the kernel block width for this round — tail rounds
         use a narrower block so per-treelet run padding and lockstep
         waste stay small for straggler pairs. `scatter_back` writes
         results back with a column scatter (cheap at tail widths,
         ~0.4 ms at 32K cols) instead of the full-width payload sort
-        (~3.1 ms; still the winner at round-1 widths)."""
+        (~3.1 ms; still the winner at round-1 widths).
+
+        Run-padding cap: the worst case is one padded block per
+        distinct treelet touched (<= T), which is absurd for
+        San-Miguel-scale T (~13K padded kernel passes + a ~13M-lane
+        unsort per round). Blocks are capped at `max_runs` runs; pairs
+        whose run placement spills past the cap are NOT processed this
+        round — their ray's cursor only advances to its first dropped
+        portal, so they re-expand next round (results already computed
+        for later portals of such a ray still merge; the min-merge is
+        idempotent under reprocessing). Coherent rays touch far fewer
+        treelets than max_runs, so drops are rare; a final
+        unfinished-work check raises if max_rounds ever cuts this
+        short."""
         L = K * Rc
-        # worst case run padding: T tid runs + the invalid-pair run
-        NBL = -(-L // blk) + T + 2
+        # run padding: one block per distinct treelet run (capped) +
+        # the invalid-pair run
+        capped = (T + 2) > max_runs
+        NBL = -(-L // blk) + min(T + 2, max_runs)
         iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
         blocks_i = jnp.arange(NBL, dtype=i32)
 
@@ -1357,7 +1375,16 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         # (10 rows): the kernel reports fresh hits and the merge below
         # folds them into each ray's prior best, so best/u/v/pos never
         # enter the sort.
-        keyL = jnp.where(validk, wtid, T).reshape(L)
+        # capped rounds rotate the tid -> sort-key mapping each round so
+        # every treelet periodically sorts into the surviving prefix of
+        # runs — without this, a ray whose cursor portal always lands
+        # in a spilled run would never advance (starvation)
+        if capped and rot is not None:
+            ktid = jax.lax.rem(wtid + rot.astype(wtid.dtype),
+                               jnp.asarray(T, wtid.dtype))
+        else:
+            ktid = wtid
+        keyL = jnp.where(validk, ktid, T).reshape(L)
         pidf = iota_L.astype(f32)
         validf = validk.reshape(L).astype(f32)
         ops = (keyL,) + tuple(
@@ -1390,7 +1417,14 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             lane_slot, blocks_i * blk, side="left").astype(i32)
         p0c = jnp.clip(p0_b, 0, L - 1)
         t_b = jnp.take(keyS, p0c)
-        tid_of_block = jnp.clip(t_b, 0, T - 1)
+        if capped and rot is not None:
+            tb_c = jnp.clip(t_b, 0, T - 1)
+            tid_of_block = jax.lax.rem(
+                tb_c - rot.astype(tb_c.dtype)
+                + jnp.asarray(T, tb_c.dtype),
+                jnp.asarray(T, tb_c.dtype))
+        else:
+            tid_of_block = jnp.clip(t_b, 0, T - 1)
         l0_b = jnp.take(lane_slot, p0c)
         # block i's lanes are pair positions start_b[i] + j; lanes with
         # j >= erel_b[i] spill past the block's treelet run (they alias
@@ -1409,9 +1443,36 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         )
 
         # -- unsort by the kernel's pair-id echo, merge K per ray --------
-        so = jax.lax.sort(
-            (fout[4], fout[0], fout[1], fout[2], fout[3]), num_keys=1)
-        out_pair = jnp.stack(so[1:])[:, :L].reshape(4, K, Rc)
+        if capped:
+            # pairs whose run spilled past the block cap were never
+            # processed: append filler echoes (pid, inert results,
+            # drop=1) so the unsort stays aligned over all L pairs
+            drop_sorted = (lane_slot >= NBL * blk).astype(f32)
+            fill_pid = jnp.where(drop_sorted > 0, dataS[8, :L], float(L))
+            inf_l = jnp.full((L,), jnp.inf, f32)
+            zero_l = jnp.zeros((L,), f32)
+            ops6 = (
+                jnp.concatenate([fout[4], fill_pid]),
+                jnp.concatenate([fout[0], inf_l]),
+                jnp.concatenate([fout[1], zero_l]),
+                jnp.concatenate([fout[2], zero_l]),
+                jnp.concatenate([fout[3], -jnp.ones((L,), f32)]),
+                jnp.concatenate([jnp.zeros((fout.shape[1],), f32),
+                                 drop_sorted]),
+            )
+            so = jax.lax.sort(ops6, num_keys=1)
+            out_pair = jnp.stack(so[1:5])[:, :L].reshape(4, K, Rc)
+            dropk = so[5][:L].reshape(K, Rc) > 0
+            # cursor only advances to the first dropped portal
+            adv = jnp.full((Rc,), K, i32)
+            for j in range(K - 1, -1, -1):
+                adv = jnp.where(dropk[j], j, adv)
+        else:
+            so = jax.lax.sort(
+                (fout[4], fout[0], fout[1], fout[2], fout[3]),
+                num_keys=1)
+            out_pair = jnp.stack(so[1:])[:, :L].reshape(4, K, Rc)
+            adv = K
 
         # first-j strict-min keeps the near-to-far tie rule (fresh-hit
         # kernel results fold into each ray's prior best)
@@ -1434,7 +1495,7 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
                 n_pos = jnp.where(better, out_pair[3, j], n_pos)
             n_tmax = jnp.minimum(n_tmax, n_bt)
         new6 = jnp.stack([n_tmax, n_bt, n_bu, n_bv, n_pos,
-                          Ssel[5] + K])
+                          Ssel[5] + adv])
 
         blk_iters = jnp.sum(fout[5].reshape(NBL, blk)[:, 0])
         any_ovf = jnp.max(fout[6])
@@ -1459,7 +1520,11 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
     # tail rounds for the few stragglers — tail glue cost ∝ tail_cap.
     Rc1 = min(sel_cap, Rp)
     K1 = portals_per_round
-    tail_cap = min(max(tail_block, _round_up(Rc1 // 8, tail_block)), Rp)
+    if tail_cap is None:
+        tail_cap = min(max(tail_block, _round_up(Rc1 // 8, tail_block)),
+                       Rp)
+    else:
+        tail_cap = min(_round_up(tail_cap, tail_block), Rp)
     K2 = portals_per_round
 
     S6, it1, ov1 = round_step(S6, Rc1, K1, block, scatter_back=False)
@@ -1470,14 +1535,18 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
 
     def body(c):
         k, S6, _, it, ov = c
+        rot = jax.lax.rem(k * jnp.asarray(997, i32), jnp.asarray(T, i32))
         S6n, itn, ovn = round_step(S6, tail_cap, K2, tail_block,
-                                   scatter_back=True)
+                                   scatter_back=True, rot=rot)
         return (k + 1, S6n, jnp.any(ready_of(S6n)), it + itn,
                 jnp.maximum(ov, ovn))
 
     init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6)),
             it1.astype(f32), ov1)
     k, S6, _, iters, ovf = jax.lax.while_loop(cond, body, init)
+    # unfinished work (max_rounds cut a capped/replaying schedule
+    # short) would mean silently missing hits: flag it (povf bit 8)
+    povf = povf + 8.0 * jnp.any(ready_of(S6)).astype(f32)
     return S6[1], S6[2], S6[3], S6[4], cnt[0], k, iters, ovf, povf
 
 
@@ -1501,6 +1570,8 @@ def wide_treelet_intersect_tris(
     k2: int = 2,
     mps: int = 16,
     a2_cap: int | None = None,
+    max_runs: int = 4096,
+    tail_cap: int | None = None,
     check_overflow: bool = True,
     return_diag: bool = False,
     interpret: bool = False,
@@ -1542,7 +1613,7 @@ def wide_treelet_intersect_tris(
         max_rounds=max_rounds, sel_cap=sel_cap,
         portals_per_round=portals_per_round, interpret=interpret,
         sup_stack=tl.sup_depth + 1, max_new=max_new, k2=k2, mps=mps,
-        a2_cap=a2_cap,
+        a2_cap=a2_cap, max_runs=max_runs, tail_cap=tail_cap,
     )
     # the overflow checks read back scalars, which synchronizes the
     # whole render (~35 ms tunnel roundtrip); benchmarks that pipeline
@@ -1561,10 +1632,23 @@ def wide_treelet_intersect_tris(
                 f"raise stack_depth"
             )
         if int(povf):
+            bits = int(povf)
+            what = []
+            if bits & 1:
+                what.append(f"a ray entered more than mps={mps} supers")
+            if bits & 2:
+                what.append(f"a (ray, super) pair recorded more than "
+                            f"max_new={max_new} treelet portals")
+            if bits & 4:
+                what.append(f"a merged portal list exceeded "
+                            f"max_portals={max_portals}")
+            if bits & 8:
+                what.append(f"max_rounds={max_rounds} ended the render "
+                            f"with portals still pending")
             raise ValueError(
-                "super-portal capacity overflow (mps/max_new/max_portals"
-                " too small for this scene); raise them or rebuild with"
-                " a larger super_prims"
+                "super-portal capacity overflow: " + "; ".join(what)
+                + " — raise the named cap or rebuild with a larger "
+                  "super_prims"
             )
 
     bt, bu, bv, pos_f = bt[:R], bu[:R], bv[:R], pos_f[:R]
@@ -1634,7 +1718,8 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         portals_per_round=kw.get("portals_per_round", 4), interpret=False,
         sup_stack=tl.sup_depth + 1, max_new=kw.get("max_new", 16),
         k2=kw.get("k2", 2), mps=kw.get("mps", 16),
-        a2_cap=kw.get("a2_cap"))
+        a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
+        tail_cap=kw.get("tail_cap"))
 
     @jax.jit
     def run(top_node_t, table, sup_table, packed):

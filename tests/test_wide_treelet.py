@@ -174,3 +174,18 @@ def test_two_level_supers_match_flat(scene):
                                      mps=32, **kw)
     assert np.array_equal(np.isfinite(np.asarray(aa.t)),
                           np.isfinite(np.asarray(bb.t)))
+
+
+def test_capped_runs_replay_matches(scene):
+    """max_runs smaller than the treelet count forces the capped
+    schedule: spilled pairs replay in later rounds and the result is
+    still exact."""
+    bvh, flat, rays = scene
+    tl = build_wide_treelets(bvh, flat, max_prims=128)
+    assert tl.table.shape[0] > 6
+    kw = dict(prim_ids=bvh.prim_ids, block=256, top_block=256,
+              max_portals=64, interpret=True)
+    a = wide_treelet_intersect_tris(tl, rays, **kw)
+    b = wide_treelet_intersect_tris(tl, rays, max_runs=8,
+                                    max_rounds=512, **kw)
+    _hits_match(a, b, rays.tmin.shape[0])

@@ -26,8 +26,12 @@ def main():
     ap.add_argument("--block", type=int, default=1024)
     ap.add_argument("--top-block", type=int, default=8192)
     ap.add_argument("--max-portals", type=int, default=64)
+    ap.add_argument("--mps", type=int, default=16)
+    ap.add_argument("--max-new", type=int, default=16)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--rc-div", type=int, default=8)
+    ap.add_argument("--max-runs", type=int, default=2048)
+    ap.add_argument("--tail-cap", type=int, default=0)
     ap.add_argument("--chain", type=int, default=4)
     args = ap.parse_args()
 
@@ -80,7 +84,9 @@ def main():
     kw = dict(block=args.block, tail_block=256, top_block=args.top_block,
               max_portals=args.max_portals, max_rounds=64,
               portals_per_round=args.k, sel_cap=Rp // args.rc_div,
-              mps=16, max_new=16, k2=2)
+              mps=args.mps, max_new=args.max_new, k2=2,
+              max_runs=args.max_runs,
+              tail_cap=args.tail_cap or None)
     t0 = time.perf_counter()
     hit, diag = wide_treelet_intersect_tris(
         tl, rays, check_overflow=True, return_diag=True, **kw)
