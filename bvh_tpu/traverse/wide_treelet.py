@@ -1307,16 +1307,21 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
                                 jnp.zeros((), f32), jnp.asarray(0, i32)))
         povf = povf + 2.0 * rec_ovf + 4.0 * mrg_ovf
 
-    def ready_of(S6):
-        """ready ⟺ the portal at the cursor is live (entries ascend)."""
+    def ready_of(S6, ptid_, ptent_):
+        """ready ⟺ the portal at the cursor is live (entries ascend).
+        Monotone: a ray that stops being ready never becomes ready
+        again (the cursor only advances, tmax only shrinks, the portal
+        list is fixed after phase A) — which is what licenses the
+        compact-once tail loop below."""
         cur = S6[5].astype(i32)[None, :]
         rowmask = iota_mp == cur
-        p_t = jnp.max(jnp.where(rowmask, ptent, -jnp.inf), axis=0)
-        p_tid = jnp.max(jnp.where(rowmask, ptid, -1), axis=0)
+        p_t = jnp.max(jnp.where(rowmask, ptent_, -jnp.inf), axis=0)
+        p_tid = jnp.max(jnp.where(rowmask, ptid_, -1), axis=0)
         live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
         return live & (p_tid >= 0) & (p_t <= S6[0])
 
-    def round_step(S6, Rc, K, blk, scatter_back, rot=None):
+    def round_step(S6, ptid_, ptent_, ray_rows_, iota_w, Rc, K, blk,
+                   scatter_back, rot=None):
         """One dense pair round over up to Rc selected rays x K portals.
         `blk` is the kernel block width for this round — tail rounds
         use a narrower block so per-treelet run padding and lockstep
@@ -1346,15 +1351,15 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         blocks_i = jnp.arange(NBL, dtype=i32)
 
         # -- partition: rays with a live portal to the front ------------
-        key = 1 - ready_of(S6).astype(i32)
-        _, ids = jax.lax.sort((key, iota_r), num_keys=1)
+        key = 1 - ready_of(S6, ptid_, ptent_).astype(i32)
+        _, ids = jax.lax.sort((key, iota_w), num_keys=1)
         sel = ids[:Rc]
 
         # -- gather the selected rays' data (cost ∝ Rc) ------------------
         Ssel = jnp.take(S6, sel, axis=1)              # [6, Rc]
-        raysel = jnp.take(ray_rows, sel, axis=1)      # [7, Rc]
-        ptid_sel = jnp.take(ptid, sel, axis=1)        # [MP, Rc]
-        ptent_sel = jnp.take(ptent, sel, axis=1)
+        raysel = jnp.take(ray_rows_, sel, axis=1)     # [7, Rc]
+        ptid_sel = jnp.take(ptid_, sel, axis=1)       # [MP, Rc]
+        ptent_sel = jnp.take(ptent_, sel, axis=1)
         cursel = Ssel[5].astype(i32)[None, :]
         live = (Ssel[4] < 0) if any_hit else jnp.ones((Rc,), bool)
 
@@ -1527,26 +1532,59 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         tail_cap = min(_round_up(tail_cap, tail_block), Rp)
     K2 = portals_per_round
 
-    S6, it1, ov1 = round_step(S6, Rc1, K1, block, scatter_back=False)
+    S6, it1, ov1 = round_step(S6, ptid, ptent, ray_rows, iota_r,
+                              Rc1, K1, block, scatter_back=False)
 
-    def cond(c):
+    # ---- compacted tail rounds ---------------------------------------
+    # After round 1 only stragglers remain ready, and readiness is
+    # monotone (see ready_of), so the survivors are gathered ONCE into
+    # a [*, AC] active set; every tail round then sorts/gathers at
+    # width AC instead of Rp (the full-width per-round glue used to
+    # cost ~2/3 of a sponza render). If more than AC rays are ready,
+    # the outer loop simply compacts again once the first set drains.
+    AC = tail_cap
+    iota_ac = jax.lax.broadcasted_iota(i32, (AC, 1), 0)[:, 0]
+
+    def ocond(c):
         k, S6, alive, it, ov = c
         return jnp.logical_and(k < max_rounds, alive)
 
-    def body(c):
+    def obody(c):
         k, S6, _, it, ov = c
-        rot = jax.lax.rem(k * jnp.asarray(997, i32), jnp.asarray(T, i32))
-        S6n, itn, ovn = round_step(S6, tail_cap, K2, tail_block,
-                                   scatter_back=True, rot=rot)
-        return (k + 1, S6n, jnp.any(ready_of(S6n)), it + itn,
-                jnp.maximum(ov, ovn))
+        key = 1 - ready_of(S6, ptid, ptent).astype(i32)
+        _, ids = jax.lax.sort((key, iota_r), num_keys=1)
+        sel = ids[:AC]
+        S6c = jnp.take(S6, sel, axis=1)
+        pc_t = jnp.take(ptid, sel, axis=1)
+        pc_e = jnp.take(ptent, sel, axis=1)
+        rays_c = jnp.take(ray_rows, sel, axis=1)
 
-    init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6)),
+        def icond(ic):
+            kk, S6c_, alive, _, _ = ic
+            return jnp.logical_and(kk < max_rounds, alive)
+
+        def ibody(ic):
+            kk, S6c_, _, iti, ovi = ic
+            rot = jax.lax.rem(kk * jnp.asarray(997, i32),
+                              jnp.asarray(T, i32))
+            S6n, itn, ovn = round_step(S6c_, pc_t, pc_e, rays_c, iota_ac,
+                                       AC, K2, tail_block,
+                                       scatter_back=True, rot=rot)
+            return (kk + 1, S6n, jnp.any(ready_of(S6n, pc_t, pc_e)),
+                    iti + itn, jnp.maximum(ovi, ovn))
+
+        k, S6c, _, it, ov = jax.lax.while_loop(
+            icond, ibody,
+            (k, S6c, jnp.any(ready_of(S6c, pc_t, pc_e)), it, ov))
+        S6 = S6.at[:, sel].set(S6c)
+        return (k, S6, jnp.any(ready_of(S6, ptid, ptent)), it, ov)
+
+    init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6, ptid, ptent)),
             it1.astype(f32), ov1)
-    k, S6, _, iters, ovf = jax.lax.while_loop(cond, body, init)
+    k, S6, _, iters, ovf = jax.lax.while_loop(ocond, obody, init)
     # unfinished work (max_rounds cut a capped/replaying schedule
     # short) would mean silently missing hits: flag it (povf bit 8)
-    povf = povf + 8.0 * jnp.any(ready_of(S6)).astype(f32)
+    povf = povf + 8.0 * jnp.any(ready_of(S6, ptid, ptent)).astype(f32)
     return S6[1], S6[2], S6[3], S6[4], cnt[0], k, iters, ovf, povf
 
 
