@@ -21,6 +21,8 @@ from __future__ import annotations
 import dataclasses
 import enum
 
+import jax
+
 from bvh_tpu.build.binned import build_binned
 from bvh_tpu.build.minitree import MiniTreeConfig, build_minitree
 from bvh_tpu.build.reinsertion import ReinsertionConfig, optimize_reinsertion
@@ -57,6 +59,24 @@ def _mini_tree_config(config: DefaultConfig) -> MiniTreeConfig:
     )
 
 
+def _use_fast_minitree(bb_min, bb_max, centers) -> bool:
+    """The per-group Pallas kernel (build_minitree_fast) is bit-identical
+    to build_minitree but stages group sizing on the host, so it only
+    applies to concrete (untraced) f32 3D inputs on an accelerator —
+    exactly the production build path. Everything else (jit-traced
+    inputs, f64, 2D/4D, CPU) takes the level-synchronous XLA build."""
+    if jax.default_backend() == "cpu":
+        return False
+    for x in (bb_min, bb_max, centers):
+        if isinstance(x, jax.core.Tracer):
+            return False
+    import numpy as np
+
+    return (getattr(centers, "ndim", 0) == 2 and centers.shape[1] == 3
+            and all(np.dtype(getattr(x, "dtype", np.float64)) == np.float32
+                    for x in (bb_min, bb_max, centers)))
+
+
 def build_default(
     bb_min,
     bb_max,
@@ -82,7 +102,13 @@ def build_default(
     )
 
     if parallel and n >= config.parallel_threshold:
-        bvh = build_minitree(bb_min, bb_max, centers, _mini_tree_config(config))
+        mtc = _mini_tree_config(config)
+        if _use_fast_minitree(bb_min, bb_max, centers):
+            from bvh_tpu.build.minitree_fast import build_minitree_fast
+
+            bvh = build_minitree_fast(bb_min, bb_max, centers, mtc)
+        else:
+            bvh = build_minitree(bb_min, bb_max, centers, mtc)
         if config.quality == Quality.HIGH:
             bvh = optimize_reinsertion(bvh, ReinsertionConfig())
         return bvh
