@@ -45,21 +45,34 @@ from bvh_tpu.traverse.refit import refit
 
 
 @functools.lru_cache(maxsize=8)
-def _grouping_fn(config: MiniTreeConfig):
-    """Jitted grouping on the default device (same backend as the build
-    kernel, so binning is bit-identical to `build_minitree` run there);
-    cached so repeated builds skip the recompile a fresh
-    `jax.jit(lambda ...)` would pay every call."""
-    return jax.jit(lambda c: _grid_groups(c, config)[0])
+def _staging_fn(config: MiniTreeConfig, g_cap: int):
+    """Jitted grouping + deterministic order on the default device (same
+    backend as the build kernel, so binning is bit-identical to
+    `build_minitree` run there). Returns (counts_all [g_cap], order [n]):
+    only the small counts array crosses to the host for (G, P) sizing;
+    the [n]-sized order stays device-resident."""
+
+    def fn(c):
+        n = c.shape[0]
+        group = jnp.minimum(_grid_groups(c, config)[0], g_cap - 1)
+        prim_ids = jnp.arange(n, dtype=jnp.int32)
+        # (group, prim id) sort == build_minitree's forest order (122).
+        _, order = jax.lax.sort((group, prim_ids), num_keys=2)
+        counts_all = jnp.zeros((g_cap,), jnp.int32).at[group].add(1)
+        return counts_all, order
+
+    return jax.jit(fn)
 
 
 def _host_groups(centers, config: MiniTreeConfig):
-    """Steps 2-3: group id per prim, pulled to host for sizing (the
-    group capacity P is data-dependent)."""
+    """Steps 2-3: group id per prim, pulled to host for sizing (kept for
+    profiling tools; the build itself uses `_staging_fn`)."""
     n, dim = centers.shape
     g_cap = min(1 << (config.log2_grid_dim * dim), n)
-    group = np.asarray(_grouping_fn(config)(centers))
-    return np.minimum(group, g_cap - 1), g_cap
+    group = np.asarray(jax.jit(
+        lambda c: jnp.minimum(_grid_groups(c, config)[0], g_cap - 1)
+    )(centers))
+    return group, g_cap
 
 
 def build_minitree_fast(
@@ -82,20 +95,19 @@ def build_minitree_fast(
     centers = jnp.asarray(centers, jnp.float32)
     n, dim = centers.shape
 
-    group, g_cap = _host_groups(centers, config)
-    # Deterministic order: sort by (group, prim id) (reference: 122-124).
-    order = np.lexsort((np.arange(n, dtype=np.int64), group))
-
-    counts_all = np.bincount(group, minlength=g_cap).astype(np.int32)
+    g_cap = min(1 << (config.log2_grid_dim * dim), n)
+    counts_all_dev, order = _staging_fn(config, g_cap)(centers)
+    # One small readback ([g_cap] i32) sizes (G, P); order stays on
+    # device (reading the [n] group vector back cost ~170 ms at 262K
+    # over the tunnel).
+    counts_all = np.asarray(counts_all_dev)
     counts = counts_all[counts_all > 0]  # present groups, morton-asc
     G = len(counts)
     P = int(max(128, ((counts.max() + 127) // 128) * 128))
     NCAP = 2 * P
 
     dev_fn = _device_build(n, dim, G, P, NCAP, g_cap, config, interpret)
-    return dev_fn(bb_min, bb_max, centers,
-                  jnp.asarray(order.astype(np.int32)),
-                  jnp.asarray(counts))
+    return dev_fn(bb_min, bb_max, centers, order, jnp.asarray(counts))
 
 
 @functools.lru_cache(maxsize=32)
