@@ -398,6 +398,230 @@ FlatBvh<T, Dim> build_sweep(const BuildInput<T, Dim>& in) {
     return bvh;
 }
 
+// ---------------------------------------------------- mini-tree builder
+// Parallel build pipeline (reference: mini_tree_builder.h:47-310):
+// morton-grid binning of primitive centers, greedy merge of adjacent
+// bins up to the parallel threshold, one sweep-SAH mini tree per group
+// (pool tasks), area pruning of oversized mini-tree tops, a sweep top
+// tree over the pruned roots, and an index-offset splice. Primitives
+// are sorted by (group, id) first so parallel rebuilds are
+// deterministic (reference: 122-124).
+inline uint32_t interleave3(uint32_t x) {
+    x &= 0x3ffu;
+    x = (x | (x << 16)) & 0x30000ffu;
+    x = (x | (x << 8)) & 0x300f00fu;
+    x = (x | (x << 4)) & 0x30c30c3u;
+    x = (x | (x << 2)) & 0x9249249u;
+    return x;
+}
+inline uint32_t interleave2(uint32_t x) {
+    x &= 0xffffu;
+    x = (x | (x << 8)) & 0x00ff00ffu;
+    x = (x | (x << 4)) & 0x0f0f0f0fu;
+    x = (x | (x << 2)) & 0x33333333u;
+    x = (x | (x << 1)) & 0x55555555u;
+    return x;
+}
+
+template <int Dim> uint32_t morton_cell(const uint32_t* c) {
+    if constexpr (Dim == 2)
+        return interleave2(c[0]) | (interleave2(c[1]) << 1);
+    else if constexpr (Dim == 3)
+        return interleave3(c[0]) | (interleave3(c[1]) << 1) |
+               (interleave3(c[2]) << 2);
+    else {
+        uint32_t m = 0;
+        for (int b = 0; b < 8; ++b)
+            for (int a = 0; a < Dim; ++a)
+                m |= ((c[a] >> b) & 1u) << uint32_t(b * Dim + a);
+        return m;
+    }
+}
+
+template <typename T, int Dim>
+FlatBvh<T, Dim> build_minitree(const BuildInput<T, Dim>& in, Pool* pool,
+                               size_t parallel_threshold) {
+    using Bvh = FlatBvh<T, Dim>;
+    using Node = typename Bvh::Node;
+    using Word = typename Bvh::Word;
+    constexpr int kLog2Grid = 4;        // reference: mini_tree_builder.h:40
+    const T kPruneRatio = T(0.01);      // reference: mini_tree_builder.h:38
+    const int grid_dim = 1 << kLog2Grid;
+    const size_t bin_count = size_t(1) << (kLog2Grid * Dim);
+    if (parallel_threshold == 0) parallel_threshold = 1024;
+
+    // -- steps 1-2: center bbox, morton bin per prim (ref: 160-187) ----
+    VecN<T, Dim> cmin, cmax;
+    for (int a = 0; a < Dim; ++a) {
+        cmin[a] = std::numeric_limits<T>::max();
+        cmax[a] = -std::numeric_limits<T>::max();
+    }
+    for (size_t i = 0; i < in.n; ++i)
+        for (int a = 0; a < Dim; ++a) {
+            cmin[a] = rmin(in.centers[i][a], cmin[a]);
+            cmax[a] = rmax(in.centers[i][a], cmax[a]);
+        }
+    T scale[Dim], offset[Dim];
+    for (int a = 0; a < Dim; ++a) {
+        T d = cmax[a] - cmin[a];
+        scale[a] = d > T(0) ? T(grid_dim) / d : T(0);
+        offset[a] = -cmin[a] * scale[a];
+    }
+    std::vector<uint32_t> bin_of(in.n);
+    std::vector<size_t> bin_sizes(bin_count, 0);
+    for (size_t i = 0; i < in.n; ++i) {
+        uint32_t c[Dim];
+        for (int a = 0; a < Dim; ++a) {
+            T p = in.centers[i][a] * scale[a] + offset[a];
+            p = rmax(p, T(0));
+            c[a] = uint32_t(rmin(p, T(grid_dim - 1)));
+        }
+        uint32_t m = morton_cell<Dim>(c) & uint32_t(bin_count - 1);
+        bin_of[i] = m;
+        bin_sizes[m]++;
+    }
+
+    // -- step 3: greedy merge of adjacent bins (ref: 84-91) ------------
+    std::vector<uint32_t> group_of_bin(bin_count);
+    uint32_t ng = 0;
+    size_t acc = 0;
+    for (size_t b = 0; b < bin_count; ++b) {
+        if (acc > 0 && acc + bin_sizes[b] > parallel_threshold) {
+            ++ng;
+            acc = 0;
+        }
+        group_of_bin[b] = ng;
+        acc += bin_sizes[b];
+    }
+    const size_t group_cap = size_t(ng) + 1;
+
+    // counting sort by group; iterating ids ascending keeps the sort
+    // stable, i.e. (group, id) order (ref: 122-124)
+    std::vector<size_t> gcount(group_cap, 0);
+    for (size_t i = 0; i < in.n; ++i) gcount[group_of_bin[bin_of[i]]]++;
+    std::vector<size_t> gbase(group_cap + 1, 0);
+    for (size_t j = 0; j < group_cap; ++j) gbase[j + 1] = gbase[j] + gcount[j];
+    std::vector<Word> sorted_ids(in.n);
+    {
+        std::vector<size_t> cur(gbase.begin(), gbase.end() - 1);
+        for (size_t i = 0; i < in.n; ++i)
+            sorted_ids[cur[group_of_bin[bin_of[i]]]++] = Word(i);
+    }
+
+    // -- step 4: one sweep mini tree per non-empty group (ref: 196-202)
+    struct Task { size_t begin, end; Bvh tree; };
+    std::vector<Task> tasks;
+    tasks.reserve(group_cap);
+    for (size_t j = 0; j < group_cap; ++j)
+        if (gcount[j]) tasks.push_back({gbase[j], gbase[j] + gcount[j], {}});
+    auto run_task = [&](Task& t) {
+        size_t m = t.end - t.begin;
+        std::vector<Box<T, Dim>> boxes(m);
+        std::vector<VecN<T, Dim>> centers(m);
+        for (size_t i = 0; i < m; ++i) {
+            auto id = sorted_ids[t.begin + i];
+            boxes[i] = in.boxes[id];
+            centers[i] = in.centers[id];
+        }
+        BuildInput<T, Dim> gin{boxes.data(), centers.data(), m,
+                               in.min_leaf, in.max_leaf};
+        t.tree = build_sweep(gin);
+    };
+    if (pool && tasks.size() > 1) {
+        for (auto& t : tasks) {
+            Task* tp = &t;
+            pool->push([tp, &run_task] { run_task(*tp); });
+        }
+        pool->wait();
+    } else {
+        for (auto& t : tasks) run_task(t);
+    }
+
+    // -- step 5: pruning (ref: 207-247): the splice roots are the
+    //    highest nodes whose half-area drops below ratio x the average
+    //    mini-tree root area (or leaves); every ancestor above a splice
+    //    root dissolves into the top tree.
+    T avg_area = T(0);
+    for (auto& t : tasks) avg_area += t.tree.nodes[0].box().half_area();
+    avg_area /= T(tasks.size());
+    const T thr = avg_area * kPruneRatio;
+    struct SRoot { uint32_t task; uint32_t node; };
+    std::vector<SRoot> sroots;
+    std::vector<uint8_t> anc_ok;
+    size_t total_nodes = 0;
+    for (size_t k = 0; k < tasks.size(); ++k) {
+        auto& tree = tasks[k].tree;
+        total_nodes += tree.nodes.size();
+        // children always have larger slot ids than their parent in the
+        // work-stack builders, so one forward pass propagates
+        // "every ancestor is above the threshold"
+        anc_ok.assign(tree.nodes.size(), 0);
+        anc_ok[0] = 1;
+        for (size_t i = 0; i < tree.nodes.size(); ++i) {
+            auto& nd = tree.nodes[i];
+            bool big = nd.box().half_area() >= thr;
+            if (anc_ok[i] && (!big || nd.is_leaf()))
+                sroots.push_back({uint32_t(k), uint32_t(i)});
+            if (!nd.is_leaf()) {
+                uint8_t v = anc_ok[i] && big;
+                anc_ok[nd.first_id() + 0] = v;
+                anc_ok[nd.first_id() + 1] = v;
+            }
+        }
+    }
+
+    // -- step 6: sweep top tree over the splice roots (ref: 249-261) ---
+    const size_t S = sroots.size();
+    std::vector<Box<T, Dim>> tboxes(S);
+    std::vector<VecN<T, Dim>> tcenters(S);
+    for (size_t s = 0; s < S; ++s) {
+        auto b = tasks[sroots[s].task].tree.nodes[sroots[s].node].box();
+        tboxes[s] = b;
+        for (int a = 0; a < Dim; ++a)
+            tcenters[s][a] = (b.mn[a] + b.mx[a]) / T(2);
+    }
+    BuildInput<T, Dim> tin{tboxes.data(), tcenters.data(), S, 1, 1};
+    Bvh top = build_sweep(tin);
+
+    // -- splice (ref: 262-308): top leaves become the splice roots;
+    //    subtrees append below with first-child/prim offsets remapped.
+    Bvh out;
+    out.prim_ids.resize(in.n);
+    for (auto& t : tasks)
+        for (size_t i = 0; i < t.end - t.begin; ++i)
+            out.prim_ids[t.begin + i] =
+                sorted_ids[t.begin + size_t(t.tree.prim_ids[i])];
+    out.nodes = std::move(top.nodes);
+    out.nodes.reserve(out.nodes.size() + total_nodes);
+    struct Copy { uint32_t task; uint32_t src; size_t dst; };
+    std::vector<Copy> stk;
+    for (size_t i = 0; i < out.nodes.size(); ++i) {
+        if (!out.nodes[i].is_leaf()) continue;
+        auto& sr = sroots[size_t(top.prim_ids[out.nodes[i].first_id()])];
+        stk.push_back({sr.task, sr.node, i});
+    }
+    while (!stk.empty()) {
+        auto [k, src, dst] = stk.back();
+        stk.pop_back();
+        auto& t = tasks[k];
+        auto nd = t.tree.nodes[src];
+        if (nd.is_leaf()) {
+            nd.index = Node::leaf(t.begin + nd.first_id(), nd.count());
+            out.nodes[dst] = nd;
+        } else {
+            size_t c = out.nodes.size();
+            out.nodes.emplace_back();
+            out.nodes.emplace_back();
+            uint32_t l = uint32_t(nd.first_id());
+            nd.index = Node::inner(c);
+            out.nodes[dst] = nd;
+            stk.push_back({k, l + 0, c + 0});
+            stk.push_back({k, l + 1, c + 1});
+        }
+    }
+    return out;
+}
+
 // ------------------------------------------------ reinsertion optimizer
 template <typename T, int Dim>
 void optimize(FlatBvh<T, Dim>& bvh, Pool* pool) {
@@ -690,6 +914,11 @@ FlatBvh<T, Dim>* do_build(Pool* pool, const Box<T, Dim>* boxes,
     auto* bvh = new FlatBvh<T, Dim>();
     if (config->quality == BVH_BUILD_QUALITY_LOW)
         *bvh = build_binned(in);
+    else if (pool)
+        // a non-NULL pool selects the parallel mini-tree pipeline, the
+        // reference's default-builder behavior (default_builder.h:33-46,
+        // c_api/bvh_impl.h:105-114)
+        *bvh = build_minitree(in, pool, config->parallel_threshold);
     else
         *bvh = build_sweep(in);
     if (config->quality == BVH_BUILD_QUALITY_HIGH) optimize(*bvh, pool);

@@ -84,3 +84,43 @@ def test_native_optimize_reduces_area(native, cornell_tris):
     lib.bvh3f_optimize(None, h)
     assert native.node_count(h) == before
     native.destroy(h)
+
+
+def test_native_pool_minitree_build(native, tmp_path):
+    """A non-NULL pool selects the parallel mini-tree pipeline
+    (reference: c_api/bvh_impl.h:105-114 -> default_builder.h:33-46 ->
+    mini_tree_builder.h:47-310). The tree differs from the serial sweep
+    build but must be structurally valid and find the same closest hits."""
+    from bvh_tpu.io.scenes import sponza_class
+
+    tris = sponza_class(4096, seed=3)
+    mn = tris.min(axis=1).astype(np.float32)
+    mx = tris.max(axis=1).astype(np.float32)
+    centers = tris.mean(axis=1).astype(np.float32)
+
+    h_par = native.build(mn, mx, centers, quality=1, threads=2)
+    h_ser = native.build(mn, mx, centers, quality=1)
+    # parallel rebuilds are deterministic (reference sorts ids per task,
+    # mini_tree_builder.h:122-124)
+    h_par2 = native.build(mn, mx, centers, quality=1, threads=3)
+    assert native.node_count(h_par) == native.node_count(h_par2)
+    assert np.array_equal(native.prim_ids(h_par), native.prim_ids(h_par2))
+
+    path = str(tmp_path / "pool.bvh")
+    native.save(h_par, path)
+    bvh = load_bvh(path)
+    assert int(bvh.node_count) == native.node_count(h_par)
+    check_bvh_invariants(bvh, len(tris))
+
+    center = tris.mean(axis=(0, 1)).astype(np.float32)
+    eye = center + np.asarray([0.0, 0.0, 3.0], np.float32)
+    rng = np.random.default_rng(0)
+    for _ in range(32):
+        ray_dir = (rng.standard_normal(3)).astype(np.float32)
+        p1, t1 = native.intersect_closest(h_par, eye, ray_dir, tris)
+        p0, t0 = native.intersect_closest(h_ser, eye, ray_dir, tris)
+        assert (p1 == -1) == (p0 == -1)
+        if p0 != -1:
+            np.testing.assert_allclose(t1, t0, rtol=1e-5)
+    for h in (h_par, h_ser, h_par2):
+        native.destroy(h)
