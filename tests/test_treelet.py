@@ -44,7 +44,7 @@ def test_treelet_matches_flat(max_nodes):
     )
     assert_hits_match(
         np.asarray(got.prim_id), np.asarray(got.t),
-        np.asarray(want.prim_id), np.asarray(want.t), max_tie_frac=0.02,
+        np.asarray(want.prim_id), np.asarray(want.t), max_tie_frac=0.004,
     )
 
 
@@ -92,5 +92,5 @@ def test_treelet_single_treelet_scene():
     )
     assert_hits_match(
         np.asarray(got.prim_id), np.asarray(got.t),
-        np.asarray(want.prim_id), np.asarray(want.t), max_tie_frac=0.02,
+        np.asarray(want.prim_id), np.asarray(want.t), max_tie_frac=0.004,
     )
