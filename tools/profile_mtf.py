@@ -20,9 +20,14 @@ def main():
     from bvh_tpu.io.scenes import sponza_class
 
     tris = sponza_class(n, seed=0)
-    mn = tris.min(axis=1).astype(np.float32)
-    mx = tris.max(axis=1).astype(np.float32)
-    cc = ((mn + mx) * 0.5).astype(np.float32)
+    import jax.numpy as jnp
+
+    # device-resident inputs (the real pipeline hands over jnp arrays;
+    # matches how the LBVH rate is measured in bench.py)
+    mn = jnp.asarray(tris.min(axis=1).astype(np.float32))
+    mx = jnp.asarray(tris.max(axis=1).astype(np.float32))
+    cc = jnp.asarray(((tris.min(axis=1) + tris.max(axis=1)) * 0.5)
+                     .astype(np.float32))
     print("device:", jax.devices()[0])
 
     t0 = time.perf_counter()
