@@ -342,16 +342,20 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     trow = wide_tid[vr]
     ccol = col_of_wide[vr]
     b6 = bounds[vslot]  # [k, 6]
-    for d in range(6):
-        table[trow, vc * 6 + d, ccol] = b6[:, d]
+    # one fused fancy write for all 6 bounds rows (the per-row loop was
+    # a San-Miguel-scale hot spot: 6 scattered passes over ~W*8 slots)
+    d6 = np.arange(6)
+    table[trow[:, None], vc[:, None] * 6 + d6[None, :],
+          ccol[:, None]] = b6
     # default empty boxes for invalid slots
     er, ec = np.nonzero(~valid)
     if len(er):
         etrow = wide_tid[er]
         ecol = col_of_wide[er]
-        for d in range(3):
-            table[etrow, ec * 6 + 2 * d, ecol] = big
-            table[etrow, ec * 6 + 2 * d + 1, ecol] = -big
+        empty6 = np.tile(np.asarray([big, -big, big, -big, big, -big],
+                                    np.float32), (len(er), 1))
+        table[etrow[:, None], ec[:, None] * 6 + d6[None, :],
+              ecol[:, None]] = empty6
 
     # slot words: inner child -> (child column << 4); leaf -> quad word
     words = np.zeros((W, WIDTH), np.int64)
@@ -369,9 +373,8 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     # and the kernel guards on gpos >= 0), then real quads overwrite.
     col_idx = np.arange(P)[None, :]
     in_quad_region = col_idx >= n_wide[:T, None]  # [T, P]
-    for j in range(QUAD):
-        table[:, j * 13 + 12, :] = np.where(in_quad_region, -1.0,
-                                            table[:, j * 13 + 12, :])
+    gpos_rows = table[:, 12:13 * QUAD:13, :]  # view of rows 12,25,38,51
+    gpos_rows[...] = np.where(in_quad_region[:, None, :], -1.0, gpos_rows)
     if len(leaf_tid):
         qrep = np.repeat(np.arange(len(leaf_tid)), leaf_nq)
         qk = _cumcount_by(qrep)  # quad index within its leaf
@@ -387,10 +390,13 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
         geo = tri_np[np.clip(tri_idx, 0, len(tri_np) - 1)]  # [q, 4, 12]
         geo = np.where(pvalid[:, :, None], geo, 0.0)
         gpos = np.where(pvalid, ppos, -1).astype(np.float32)
-        for j in range(QUAD):
-            for d in range(12):
-                table[qtid, j * 13 + d, qcol] = geo[:, j, d]
-            table[qtid, j * 13 + 12, qcol] = gpos[:, j]
+        # one fused fancy write for all 4*13 quad rows (was 52 scattered
+        # passes over ~n/4 quads — the other packing hot spot at 10M)
+        val = np.concatenate([geo, gpos[:, :, None]], axis=2)  # [q, 4, 13]
+        rows_q = (np.arange(QUAD)[:, None] * 13
+                  + np.arange(13)[None, :])                    # [4, 13]
+        table[qtid[:, None, None], rows_q[None, :, :],
+              qcol[:, None, None]] = val
 
     # ---- super level (San-Miguel scale): cut the top region ----------
     top_all = np.nonzero(is_top)[0]

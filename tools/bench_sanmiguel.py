@@ -70,8 +70,33 @@ def main():
     sp = (None if args.super_prims == 0 else args.super_prims)
     if args.flat:
         sp = 1 << 62  # larger than any subtree: super level off
-    tl = build_wide_treelets(bvh, flat, max_prims=args.max_prims,
-                             super_prims=sp)
+    tl_cache = (f"/tmp/bench_tl_{args.n}_{args.max_prims}_"
+                f"{'flat' if args.flat else (sp or 'auto')}.npz")
+    if os.path.exists(tl_cache):
+        z = np.load(tl_cache)
+        from bvh_tpu.traverse.wide_treelet import WideTreelets
+        tl = WideTreelets(
+            top_node_t=jnp.asarray(z["top_node_t"]),
+            top_root=int(z["top_root"]),
+            table=jnp.asarray(z["table"]),
+            n_prims=int(z["n_prims"]),
+            n_wide=z["n_wide"],
+            top_depth=int(z["top_depth"]),
+            wide_depth=int(z["wide_depth"]),
+            sup_table=jnp.asarray(z["sup_table"]),
+            sup_depth=int(z["sup_depth"]),
+        )
+        print(f"treelet tables loaded from {tl_cache}", flush=True)
+    else:
+        tl = build_wide_treelets(bvh, flat, max_prims=args.max_prims,
+                                 super_prims=sp)
+        np.savez(tl_cache,
+                 top_node_t=np.asarray(tl.top_node_t),
+                 top_root=tl.top_root, table=np.asarray(tl.table),
+                 n_prims=tl.n_prims, n_wide=tl.n_wide,
+                 top_depth=tl.top_depth, wide_depth=tl.wide_depth,
+                 sup_table=np.asarray(tl.sup_table),
+                 sup_depth=tl.sup_depth)
     print(f"treelet build: {time.perf_counter()-t0:.1f} s  "
           f"T={tl.table.shape[0]} S={tl.sup_table.shape[0]} "
           f"P={tl.table.shape[2]} Ps={tl.sup_table.shape[2]} "
