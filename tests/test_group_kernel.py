@@ -44,7 +44,7 @@ def assert_bvh_equal(a, b):
 
 
 @pytest.mark.parametrize("n,seed,clustered", [
-    (500, 0, False),
+    pytest.param(500, 0, False, marks=pytest.mark.slow),
     pytest.param(3000, 1, False, marks=pytest.mark.slow),
     pytest.param(3000, 2, True, marks=pytest.mark.slow),
     pytest.param(8000, 3, False, marks=pytest.mark.slow),

@@ -152,6 +152,7 @@ def test_matches_wavefront_50k():
     _hits_match(hit, oracle, rays.tmin.shape[0])
 
 
+@pytest.mark.slow
 def test_two_level_supers_match_flat(scene):
     """The San-Miguel-scale super level (phase A1/A2) returns exactly
     the flat scheme's hits: the super cut only changes how treelet
@@ -176,6 +177,7 @@ def test_two_level_supers_match_flat(scene):
                           np.isfinite(np.asarray(bb.t)))
 
 
+@pytest.mark.slow
 def test_capped_runs_replay_matches(scene):
     """max_runs smaller than the treelet count forces the capped
     schedule: spilled pairs replay in later rounds and the result is
