@@ -1115,30 +1115,45 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
                 max_portals, max_rounds, sel_cap, portals_per_round,
                 interpret, sup_stack=8, max_new=16, k2=2, mps=16,
                 a2_cap=None, max_runs=4096, tail_cap=None):
-    """The whole render in ONE jitted call: phase-A collect, per-ray
-    portal sort, and a lax.while_loop of dense pair rounds — zero host
+    """The whole render in ONE jitted call: phase-A collect, a single
+    compaction to the rays that reached any treelet, dense pair rounds
+    over the compact set, and one scatter write-back — zero host
     roundtrips until the final readback.
 
-    Round scheme (measured on hardware, tools/profile_phaseb.py): only
-    ~10% of primary rays ever reach a treelet, and per-treelet block
-    padding leaves kernel blocks ~12% occupied when each round takes
-    one portal per ray. Instead every round (a) partitions the rays
-    that still have a live portal to the front (a 2-op sort, ~1.5 ms
-    at 1M), (b) takes the first `sel_cap` of them, (c) expands each
-    ray's next `portals_per_round` portals into a dense pair list
-    sorted by treelet id, and (d) runs one kernel pass over full
-    blocks. A ray's portals are entry-ascending, so the portal at the
-    cursor being dead (exhausted, or entry > tmax which only shrinks)
-    means every later one is too — `ready ⟺ portal[cursor] live`.
-    Pairs of one ray run with the same input tmax (no intra-round
-    pruning); results merge by first-j strict-min, matching the
-    reference's near-to-far traversal order (bvh.h:137-149)."""
+    Compact-once scheme (round-3 redesign, measured on hardware,
+    tools/profile_r3.py): only ~10% of primary rays record any portal
+    in phase A, and a ray that records none can never become ready —
+    so ALL post-phase-A work (the per-ray portal sort, the pair
+    expansion, the tail rounds' partition sorts) runs at `sel_cap`
+    width instead of full ray-count width.  The old design paid a
+    full-width 7-operand payload sort (~7 ms at 1M rays) to write
+    round-1 results back plus a full-width portal sort (~1.7 ms); the
+    compact design pays four 1-D scatters (~0.8 ms each) once at the
+    very end.  If more than `sel_cap` rays are ready, an outer loop
+    simply processes the ready list in `sel_cap`-sized chunks (rays
+    are independent, so chunked processing is exact).
+
+    Each pair round expands every compact ray's next
+    `portals_per_round` portals into a dense pair list sorted by
+    (treelet id, ray direction octant) — the octant is a secondary key
+    only (kernel blocks stay aligned to treelet runs) so lanes in one
+    block traverse the treelet in similar order and the lockstep
+    while-loop converges sooner.  A ray's portals are entry-ascending,
+    so the portal at the cursor being dead (exhausted, or entry > tmax
+    which only shrinks) means every later one is too — `ready ⟺
+    portal[cursor] live`.  Pairs of one ray run with the same input
+    tmax (no intra-round pruning); results merge by first-j
+    strict-min, matching the reference's near-to-far traversal order
+    (bvh.h:124-182)."""
     from bvh_tpu.traverse.treelet import _collect_kernel
 
     f32, i32 = jnp.float32, jnp.int32
     Rp = packed.shape[1]
     T = table.shape[0]
     MP = max_portals
+    Rc = min(sel_cap, Rp)
+    K1 = portals_per_round
+    K2 = portals_per_round
 
     # ---- phase A ------------------------------------------------------
     root = jnp.full((8, 128), top_root, i32)
@@ -1169,39 +1184,228 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         interpret=interpret,
     )(top_node_t, packed, root)
 
-    ray_rows = packed[0:7]  # [7, Rp]: org, dir, tmin (static per round)
-    tmax0 = packed[7]
-
+    # ---- compact once: rays with no portal can never become ready ----
     iota_r = jax.lax.broadcasted_iota(i32, (Rp, 1), 0)[:, 0]
-    iota_mp = jax.lax.broadcasted_iota(i32, (MP, 1), 0)
+    ready0 = cnt[0] > 0
+    nready = jnp.sum(ready0.astype(i32))
+    _, ids = jax.lax.sort((1 - ready0.astype(i32), iota_r), num_keys=1)
+    n_chunks = -(-Rp // Rc)
 
+    iota_c = jax.lax.broadcasted_iota(i32, (Rc, 1), 0)[:, 0]
+    iota_mp = jax.lax.broadcasted_iota(i32, (MP, 1), 0)
     two_level = sup_table is not None and sup_table.shape[0] > 0
-    povf = jnp.zeros((), f32)
-    if not two_level:
-        # sort each ray's portals ascending by entry distance
-        # (exactness: closest-hit termination needs ascending
-        # processing, bvh.h:137-149; unused slots are (tid -1, t +inf)
-        # and sort to the end)
-        ptent, ptid = jax.lax.sort((ptent, ptid), num_keys=1, dimension=0)
+
+    if tail_cap is None:
+        tail_cap = min(max(tail_block, _round_up(Rc // 8, tail_block)), Rc)
     else:
-        # ---- phase A2: expand super-portals (tid >= T) ---------------
+        tail_cap = min(_round_up(tail_cap, tail_block), Rc)
+    AC = tail_cap
+
+    def ready_of(S6, ptid_, ptent_):
+        """ready ⟺ the portal at the cursor is live (entries ascend).
+        Monotone: a ray that stops being ready never becomes ready
+        again (the cursor only advances, tmax only shrinks, the portal
+        list is fixed after phase A/A2)."""
+        cur = S6[5].astype(i32)[None, :]
+        rowmask = iota_mp == cur
+        p_t = jnp.max(jnp.where(rowmask, ptent_, -jnp.inf), axis=0)
+        p_tid = jnp.max(jnp.where(rowmask, ptid_, -1), axis=0)
+        live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
+        return live & (p_tid >= 0) & (p_t <= S6[0])
+
+    def pair_pass(wtid, wt_, validk, raysel, tmaxsel, octsel, K, blk, rot):
+        """One dense pair pass over a [K, W] portal window: sort pairs
+        by (treelet, octant), run the kernel over run-padded blocks,
+        unsort by the pair-id echo.  Returns (out_pair [4, K, W],
+        adv — per-ray cursor advance, block iters, overflow flag).
+
+        The pair payload rides THROUGH the sort — per-lane flat
+        gathers cost ~7 ns/row on this backend, the multi-operand sort
+        ~1 ms at 524K.  The payload is only org/dir/tmin/tmax + id +
+        valid (10 rows): the kernel reports fresh hits and the caller
+        folds them into each ray's prior best, so best/u/v/pos never
+        enter the sort.
+
+        Run-padding cap: the worst case is one padded block per
+        distinct treelet touched (<= T), which is absurd for
+        San-Miguel-scale T.  Blocks are capped at `max_runs` runs;
+        pairs whose run placement spills past the cap are NOT
+        processed this pass — their ray's cursor only advances to its
+        first dropped portal, so they re-expand next round (the
+        min-merge is idempotent under reprocessing).  Capped passes
+        rotate the tid -> sort-key mapping each round (`rot`) so every
+        treelet periodically sorts into the surviving prefix of runs —
+        without this a ray whose cursor portal always lands in a
+        spilled run would starve."""
+        W = wtid.shape[1]
+        L = K * W
+        capped = (T + 2) > max_runs
+        NBL = -(-L // blk) + min(T + 2, max_runs)
+        iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
+        blocks_i = jnp.arange(NBL, dtype=i32)
+
+        if capped and rot is not None:
+            ktid = jax.lax.rem(wtid + rot.astype(wtid.dtype),
+                               jnp.asarray(T, wtid.dtype))
+        else:
+            ktid = wtid
+        key8 = ktid * 8 + octsel[None, :]
+        keyL = jnp.where(validk, key8, T * 8).reshape(L)
+        pidf = iota_L.astype(f32)
+        validf = validk.reshape(L).astype(f32)
+        ops = (keyL,) + tuple(
+            jnp.tile(raysel[i], (K,)) for i in range(7)) + (
+            jnp.tile(tmaxsel, (K,)), pidf, validf)
+        sorted_ = jax.lax.sort(ops, num_keys=1)
+        keyS = sorted_[0]
+        tidS = keyS >> 3
+        dataS = jnp.stack(sorted_[1:11])
+        # blk+128 pad columns so every block's (128-aligned) DMA window
+        # is in bounds (pads: valid 0, pair id n_pairs); 16 rows because
+        # Mosaic DMA slices must be 8-aligned in the sublane dim
+        pad = jnp.zeros((10, blk + 128), f32).at[8].set(float(L))
+        dataS = jnp.concatenate([dataS, pad], axis=1)
+        dataS = jnp.concatenate(
+            [dataS, jnp.zeros((6, L + blk + 128), f32)], axis=0)
+
+        # -- block-aligned run placement via scans (gather-free) -------
+        # runs are delimited by TREELET id (octant is ordering only);
+        # lane_slot[i] = i + padding inserted before i's run start
+        prev = jnp.concatenate([jnp.full((1,), -1, i32), tidS[:-1]])
+        flag = tidS != prev
+        run_start = jax.lax.cummax(jnp.where(flag, iota_L, 0))
+        prev_start = jnp.concatenate(
+            [jnp.zeros((1,), i32), run_start[:-1]])
+        prev_len = jnp.where(flag, iota_L - prev_start, 0)
+        pad_delta = jnp.where(flag, (-prev_len) % blk, 0)
+        lane_slot = iota_L + jnp.cumsum(pad_delta)
+
+        p0_b = jnp.searchsorted(
+            lane_slot, blocks_i * blk, side="left").astype(i32)
+        p0c = jnp.clip(p0_b, 0, L - 1)
+        t_b = jnp.take(tidS, p0c)
+        if capped and rot is not None:
+            tb_c = jnp.clip(t_b, 0, T - 1)
+            tid_of_block = jax.lax.rem(
+                tb_c - rot.astype(tb_c.dtype)
+                + jnp.asarray(T, tb_c.dtype),
+                jnp.asarray(T, tb_c.dtype))
+        else:
+            tid_of_block = jnp.clip(t_b, 0, T - 1)
+        l0_b = jnp.take(lane_slot, p0c)
+        # block i's lanes are pair positions start_b[i] + j; lanes with
+        # j >= erel_b[i] spill past the block's treelet run (they alias
+        # the next run) and are masked in-kernel. Invalid-pair (tid T)
+        # runs keep their lanes so every pair id echoes exactly once.
+        e_b = jnp.searchsorted(tidS, t_b, side="right").astype(i32)
+        start_un = p0_b - l0_b + blocks_i * blk
+        start_b = jnp.clip(start_un, 0, L)
+        erel_b = jnp.where(start_un == start_b,
+                           jnp.maximum(e_b - start_un, 0), 0)
+
+        fout = _phase_b(
+            tid_of_block, start_b, erel_b, table, dataS,
+            block=blk, any_hit=any_hit, robust=robust,
+            stack_depth=stack_depth, interpret=interpret,
+        )
+
+        # -- unsort by the kernel's pair-id echo ------------------------
+        if capped:
+            # pairs whose run spilled past the block cap were never
+            # processed: append filler echoes (pid, inert results,
+            # drop=1) so the unsort stays aligned over all L pairs
+            drop_sorted = (lane_slot >= NBL * blk).astype(f32)
+            fill_pid = jnp.where(drop_sorted > 0, dataS[8, :L], float(L))
+            inf_l = jnp.full((L,), jnp.inf, f32)
+            zero_l = jnp.zeros((L,), f32)
+            ops6 = (
+                jnp.concatenate([fout[4], fill_pid]),
+                jnp.concatenate([fout[0], inf_l]),
+                jnp.concatenate([fout[1], zero_l]),
+                jnp.concatenate([fout[2], zero_l]),
+                jnp.concatenate([fout[3], -jnp.ones((L,), f32)]),
+                jnp.concatenate([jnp.zeros((fout.shape[1],), f32),
+                                 drop_sorted]),
+            )
+            so = jax.lax.sort(ops6, num_keys=1)
+            out_pair = jnp.stack(so[1:5])[:, :L].reshape(4, K, W)
+            dropk = so[5][:L].reshape(K, W) > 0
+            # cursor only advances to the first dropped portal
+            adv = jnp.full((W,), K, i32)
+            for j in range(K - 1, -1, -1):
+                adv = jnp.where(dropk[j], j, adv)
+        else:
+            so = jax.lax.sort(
+                (fout[4], fout[0], fout[1], fout[2], fout[3]),
+                num_keys=1)
+            out_pair = jnp.stack(so[1:])[:, :L].reshape(4, K, W)
+            adv = K
+        blk_iters = jnp.sum(fout[5].reshape(NBL, blk)[:, 0])
+        any_ovf = jnp.max(fout[6])
+        return out_pair, adv, blk_iters, any_ovf
+
+    def merge_results(S6sel, validk, out_pair, adv, K):
+        """Fold fresh kernel hits into each ray's prior best.  First-j
+        strict-min keeps the near-to-far tie rule (bvh.h:137-149)."""
+        n_tmax = S6sel[0]
+        n_bt, n_bu, n_bv, n_pos = S6sel[1], S6sel[2], S6sel[3], S6sel[4]
+        if any_hit:
+            # first-j hit wins; tmax never shrinks on any-hit
+            for j in range(K):
+                hitj = validk[j] & (out_pair[3, j] >= 0) & (n_pos < 0)
+                n_bt = jnp.where(hitj, out_pair[0, j], n_bt)
+                n_bu = jnp.where(hitj, out_pair[1, j], n_bu)
+                n_bv = jnp.where(hitj, out_pair[2, j], n_bv)
+                n_pos = jnp.where(hitj, out_pair[3, j], n_pos)
+        else:
+            for j in range(K):
+                better = validk[j] & (out_pair[0, j] < n_bt)
+                n_bt = jnp.where(better, out_pair[0, j], n_bt)
+                n_bu = jnp.where(better, out_pair[1, j], n_bu)
+                n_bv = jnp.where(better, out_pair[2, j], n_bv)
+                n_pos = jnp.where(better, out_pair[3, j], n_pos)
+            n_tmax = jnp.minimum(n_tmax, n_bt)
+        return jnp.stack([n_tmax, n_bt, n_bu, n_bv, n_pos,
+                          S6sel[5] + adv])
+
+    def window_of(S6, ptid_, ptent_, K):
+        """Portal rows cur..cur+K-1 per ray, with liveness mask."""
+        cur = S6[5].astype(i32)[None, :]
+        wtid, wtt = [], []
+        for j in range(K):
+            rm = iota_mp == cur + j
+            wtid.append(jnp.max(jnp.where(rm, ptid_, -1), axis=0))
+            wtt.append(jnp.max(jnp.where(rm, ptent_, -jnp.inf), axis=0))
+        wtid = jnp.stack(wtid)
+        wtt = jnp.stack(wtt)
+        live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
+        validk = (wtid >= 0) & (wtt <= S6[0][None, :]) & live[None, :]
+        return wtid, wtt, validk
+
+    def expand_supers(pt0, pe0, rayc, octc):
+        """Phase A2 at chunk width: expand super-portals (tid >= T) by
+        streaming each super's mid-region pair table per kernel block,
+        merging the recorded treelet portals into the per-ray sorted
+        list.  Returns (pc_e, pc_t, povf_bits)."""
         S = sup_table.shape[0]
-        Rc2 = a2_cap if a2_cap is not None else sel_cap
-        is_sup = ptid >= T
-        sup_key0 = jnp.where(is_sup, ptent, jnp.inf)
-        sup_id0 = jnp.where(is_sup, ptid - T, -1)
+        Rc2 = min(a2_cap if a2_cap is not None else Rc, Rc)
+        ray_rows_c = rayc[0:7]
+        tmaxc = rayc[7]
+        is_sup = pt0 >= T
+        sup_key0 = jnp.where(is_sup, pe0, jnp.inf)
+        sup_id0 = jnp.where(is_sup, pt0 - T, -1)
         sup_key, sup_id = jax.lax.sort((sup_key0, sup_id0), num_keys=1,
                                        dimension=0)
         # povf is a bitmask: 1 = super list > mps, 2 = a (ray, super)
         # recorded > max_new treelet portals, 4 = merged portal list
         # exceeded max_portals
-        povf = povf + jnp.max(jnp.sum(is_sup.astype(i32), axis=0)
-                              > mps).astype(f32)
+        povf = jnp.max(jnp.sum(is_sup.astype(i32), axis=0)
+                       > mps).astype(f32)
         sup_id = sup_id[:mps]
-        main_key = jnp.where(is_sup, jnp.inf, ptent)
-        main_id = jnp.where(is_sup, -1, ptid)
-        ptent, ptid = jax.lax.sort((main_key, main_id), num_keys=1,
-                                   dimension=0)
+        main_key = jnp.where(is_sup, jnp.inf, pe0)
+        main_id = jnp.where(is_sup, -1, pt0)
+        pc_e, pc_t = jax.lax.sort((main_key, main_id), num_keys=1,
+                                  dimension=0)
 
         iota_mps = jax.lax.broadcasted_iota(i32, (mps, 1), 0)
         L2 = k2 * Rc2
@@ -1219,12 +1423,12 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             return sid >= 0
 
         def a2_round(carry):
-            ptid, ptent, scur, rec_ovf, mrg_ovf, k = carry
+            pc_t_, pc_e_, scur, rec_ovf, mrg_ovf, k = carry
             key = 1 - sready_of(scur).astype(i32)
-            _, ids = jax.lax.sort((key, iota_r), num_keys=1)
-            sel = ids[:Rc2]
-            raysel = jnp.take(ray_rows, sel, axis=1)
-            tmaxsel = jnp.take(tmax0, sel)
+            _, ids_ = jax.lax.sort((key, iota_c), num_keys=1)
+            sel = ids_[:Rc2]
+            raysel = jnp.take(ray_rows_c, sel, axis=1)
+            tmaxsel = jnp.take(tmaxc, sel)
             supid_sel = jnp.take(sup_id, sel, axis=1)      # [mps, Rc2]
             cursel = jnp.take(scur, sel)[None, :]
 
@@ -1290,8 +1494,8 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             ntid_m = jnp.where(vmask, ntid, -1.0).reshape(mn * k2, Rc2)
             nt_m = jnp.where(vmask, nt, jnp.inf).reshape(mn * k2, Rc2)
 
-            mainid_sel = jnp.take(ptid, sel, axis=1).astype(f32)
-            maint_sel = jnp.take(ptent, sel, axis=1)
+            mainid_sel = jnp.take(pc_t_, sel, axis=1).astype(f32)
+            maint_sel = jnp.take(pc_e_, sel, axis=1)
             cat_t = jnp.concatenate([maint_sel, nt_m], axis=0)
             cat_id = jnp.concatenate([mainid_sel, ntid_m], axis=0)
             cat_t, cat_id = jax.lax.sort((cat_t, cat_id), num_keys=1,
@@ -1299,299 +1503,142 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             live = jnp.sum(jnp.isfinite(cat_t).astype(i32), axis=0)
             mrg_ovf = jnp.maximum(mrg_ovf,
                                   (jnp.max(live) > MP).astype(f32))
-            ptent = ptent.at[:, sel].set(cat_t[:MP])
-            ptid = ptid.at[:, sel].set(cat_id[:MP].astype(i32))
+            pc_e_ = pc_e_.at[:, sel].set(cat_t[:MP])
+            pc_t_ = pc_t_.at[:, sel].set(cat_id[:MP].astype(i32))
             scur = scur.at[sel].set(cursel[0] + k2)
-            return (ptid, ptent, scur, rec_ovf, mrg_ovf, k + 1)
+            return (pc_t_, pc_e_, scur, rec_ovf, mrg_ovf, k + 1)
 
         def a2_cond(carry):
             return jnp.any(sready_of(carry[2])) & (carry[5] < 64)
 
-        scur0 = jnp.zeros((Rp,), i32)
-        ptid, ptent, _, rec_ovf, mrg_ovf, _ = jax.lax.while_loop(
-            a2_cond, a2_round, (ptid, ptent, scur0, jnp.zeros((), f32),
+        scur0 = jnp.zeros((Rc,), i32)
+        pc_t, pc_e, _, rec_ovf, mrg_ovf, _ = jax.lax.while_loop(
+            a2_cond, a2_round, (pc_t, pc_e, scur0, jnp.zeros((), f32),
                                 jnp.zeros((), f32), jnp.asarray(0, i32)))
-        povf = povf + 2.0 * rec_ovf + 4.0 * mrg_ovf
+        return pc_e, pc_t, povf + 2.0 * rec_ovf + 4.0 * mrg_ovf
 
-    def ready_of(S6, ptid_, ptent_):
-        """ready ⟺ the portal at the cursor is live (entries ascend).
-        Monotone: a ray that stops being ready never becomes ready
-        again (the cursor only advances, tmax only shrinks, the portal
-        list is fixed after phase A) — which is what licenses the
-        compact-once tail loop below."""
-        cur = S6[5].astype(i32)[None, :]
-        rowmask = iota_mp == cur
-        p_t = jnp.max(jnp.where(rowmask, ptent_, -jnp.inf), axis=0)
-        p_tid = jnp.max(jnp.where(rowmask, ptid_, -1), axis=0)
-        live = (S6[4] < 0) if any_hit else jnp.ones((S6.shape[1],), bool)
-        return live & (p_tid >= 0) & (p_t <= S6[0])
+    # ---- per-chunk pipeline (almost always exactly one chunk) --------
+    def run_chunk(sel):
+        rayc = jnp.take(packed, sel, axis=1)             # [8, Rc]
+        pt0 = jnp.take(ptid, sel, axis=1)                # [MP, Rc]
+        pe0 = jnp.take(ptent, sel, axis=1)
+        ray_rows_c = rayc[0:7]
+        tmaxc = rayc[7]
+        neg = jnp.signbit(rayc[3:6]).astype(i32)
+        octc = neg[0] + 2 * neg[1] + 4 * neg[2]          # [Rc]
 
-    def round_step(S6, ptid_, ptent_, ray_rows_, iota_w, Rc, K, blk,
-                   scatter_back, rot=None):
-        """One dense pair round over up to Rc selected rays x K portals.
-        `blk` is the kernel block width for this round — tail rounds
-        use a narrower block so per-treelet run padding and lockstep
-        waste stay small for straggler pairs. `scatter_back` writes
-        results back with a column scatter (cheap at tail widths,
-        ~0.4 ms at 32K cols) instead of the full-width payload sort
-        (~3.1 ms; still the winner at round-1 widths).
-
-        Run-padding cap: the worst case is one padded block per
-        distinct treelet touched (<= T), which is absurd for
-        San-Miguel-scale T (~13K padded kernel passes + a ~13M-lane
-        unsort per round). Blocks are capped at `max_runs` runs; pairs
-        whose run placement spills past the cap are NOT processed this
-        round — their ray's cursor only advances to its first dropped
-        portal, so they re-expand next round (results already computed
-        for later portals of such a ray still merge; the min-merge is
-        idempotent under reprocessing). Coherent rays touch far fewer
-        treelets than max_runs, so drops are rare; a final
-        unfinished-work check raises if max_rounds ever cuts this
-        short."""
-        L = K * Rc
-        # run padding: one block per distinct treelet run (capped) +
-        # the invalid-pair run
-        capped = (T + 2) > max_runs
-        NBL = -(-L // blk) + min(T + 2, max_runs)
-        iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
-        blocks_i = jnp.arange(NBL, dtype=i32)
-
-        # -- partition: rays with a live portal to the front ------------
-        key = 1 - ready_of(S6, ptid_, ptent_).astype(i32)
-        _, ids = jax.lax.sort((key, iota_w), num_keys=1)
-        sel = ids[:Rc]
-
-        # -- gather the selected rays' data (cost ∝ Rc) ------------------
-        Ssel = jnp.take(S6, sel, axis=1)              # [6, Rc]
-        raysel = jnp.take(ray_rows_, sel, axis=1)     # [7, Rc]
-        ptid_sel = jnp.take(ptid_, sel, axis=1)       # [MP, Rc]
-        ptent_sel = jnp.take(ptent_, sel, axis=1)
-        cursel = Ssel[5].astype(i32)[None, :]
-        live = (Ssel[4] < 0) if any_hit else jnp.ones((Rc,), bool)
-
-        # window rows cur..cur+K-1 per selected ray
-        wtid, wt = [], []
-        for j in range(K):
-            rm = iota_mp == cursel + j
-            wtid.append(jnp.max(jnp.where(rm, ptid_sel, -1), axis=0))
-            wt.append(jnp.max(jnp.where(rm, ptent_sel, -jnp.inf), axis=0))
-        wtid = jnp.stack(wtid)                        # [K, Rc]
-        wt = jnp.stack(wt)
-        validk = (wtid >= 0) & (wt <= Ssel[0][None, :]) & live[None, :]
-
-        # -- dense pair list sorted by treelet id ------------------------
-        # The pair payload rides THROUGH the sort — per-lane flat
-        # gathers cost ~7 ms/1M on this backend, the multi-operand sort
-        # ~2.5 ms. The payload is only org/dir/tmin/tmax + id + valid
-        # (10 rows): the kernel reports fresh hits and the merge below
-        # folds them into each ray's prior best, so best/u/v/pos never
-        # enter the sort.
-        # capped rounds rotate the tid -> sort-key mapping each round so
-        # every treelet periodically sorts into the surviving prefix of
-        # runs — without this, a ray whose cursor portal always lands
-        # in a spilled run would never advance (starvation)
-        if capped and rot is not None:
-            ktid = jax.lax.rem(wtid + rot.astype(wtid.dtype),
-                               jnp.asarray(T, wtid.dtype))
+        if two_level:
+            pc_e, pc_t, povf_c = expand_supers(pt0, pe0, rayc, octc)
         else:
-            ktid = wtid
-        keyL = jnp.where(validk, ktid, T).reshape(L)
-        pidf = iota_L.astype(f32)
-        validf = validk.reshape(L).astype(f32)
-        ops = (keyL,) + tuple(
-            jnp.tile(raysel[i], (K,)) for i in range(7)) + (
-            jnp.tile(Ssel[0], (K,)), pidf, validf)
-        sorted_ = jax.lax.sort(ops, num_keys=1)
-        keyS = sorted_[0]
-        dataS = jnp.stack(sorted_[1:11])              # [10, L]
-        # blk+128 pad columns so every block's (128-aligned) DMA window
-        # is in bounds (pads: valid 0, pair id n_pairs); 16 rows because
-        # Mosaic DMA slices must be 8-aligned in the sublane dim
-        pad = jnp.zeros((10, blk + 128), f32).at[8].set(float(L))
-        dataS = jnp.concatenate([dataS, pad], axis=1)
-        dataS = jnp.concatenate(
-            [dataS, jnp.zeros((6, L + blk + 128), f32)], axis=0)
+            # sort each ray's portals ascending by entry distance
+            # (exactness: closest-hit termination needs ascending
+            # processing, bvh.h:137-149; unused slots are (tid -1,
+            # t +inf) and sort to the end)
+            pc_e, pc_t = jax.lax.sort((pe0, pt0), num_keys=1, dimension=0)
+            povf_c = jnp.zeros((), f32)
 
-        # -- block-aligned run placement via scans (gather-free) ---------
-        # lane_slot[i] = i + padding inserted before i's run start
-        prev = jnp.concatenate([jnp.full((1,), -1, i32), keyS[:-1]])
-        flag = keyS != prev
-        run_start = jax.lax.cummax(jnp.where(flag, iota_L, 0))
-        prev_start = jnp.concatenate(
-            [jnp.zeros((1,), i32), run_start[:-1]])
-        prev_len = jnp.where(flag, iota_L - prev_start, 0)
-        pad_delta = jnp.where(flag, (-prev_len) % blk, 0)
-        lane_slot = iota_L + jnp.cumsum(pad_delta)
+        S6c = jnp.stack([
+            tmaxc,
+            jnp.full((Rc,), jnp.inf, f32),    # best t
+            jnp.zeros((Rc,), f32),            # u
+            jnp.zeros((Rc,), f32),            # v
+            jnp.full((Rc,), -1.0, f32),       # best pos
+            jnp.zeros((Rc,), f32),            # cursor
+        ])
 
-        # per-block quantities (tiny arrays; broadcast to lanes for free)
-        p0_b = jnp.searchsorted(
-            lane_slot, blocks_i * blk, side="left").astype(i32)
-        p0c = jnp.clip(p0_b, 0, L - 1)
-        t_b = jnp.take(keyS, p0c)
-        if capped and rot is not None:
-            tb_c = jnp.clip(t_b, 0, T - 1)
-            tid_of_block = jax.lax.rem(
-                tb_c - rot.astype(tb_c.dtype)
-                + jnp.asarray(T, tb_c.dtype),
-                jnp.asarray(T, tb_c.dtype))
-        else:
-            tid_of_block = jnp.clip(t_b, 0, T - 1)
-        l0_b = jnp.take(lane_slot, p0c)
-        # block i's lanes are pair positions start_b[i] + j; lanes with
-        # j >= erel_b[i] spill past the block's treelet run (they alias
-        # the next run) and are masked in-kernel. Invalid-pair (key T)
-        # runs keep their lanes so every pair id echoes exactly once.
-        e_b = jnp.searchsorted(keyS, t_b, side="right").astype(i32)
-        start_un = p0_b - l0_b + blocks_i * blk
-        start_b = jnp.clip(start_un, 0, L)
-        erel_b = jnp.where(start_un == start_b,
-                           jnp.maximum(e_b - start_un, 0), 0)
+        # -- round 1: every chunk ray at cursor 0 ------------------------
+        wtid1 = pc_t[:K1]
+        wtt1 = pc_e[:K1]
+        validk1 = (wtid1 >= 0) & (wtt1 <= tmaxc[None, :])
+        out_pair, adv, it1, ov1 = pair_pass(
+            wtid1, wtt1, validk1, ray_rows_c, tmaxc, octc, K1, block,
+            None)
+        S6c = merge_results(S6c, validk1, out_pair, adv, K1)
 
-        fout = _phase_b(
-            tid_of_block, start_b, erel_b, table, dataS,
-            block=blk, any_hit=any_hit, robust=robust,
-            stack_depth=stack_depth, interpret=interpret,
+        # -- compacted tail rounds ---------------------------------------
+        # After round 1 only stragglers remain ready, and readiness is
+        # monotone (see ready_of), so survivors are gathered into a
+        # [*, AC] active set; every tail round runs at width AC.  If
+        # more than AC rays are ready, the outer loop compacts again
+        # once the first set drains.
+        def ocond(c):
+            k, S6c_, alive, it, ov = c
+            return jnp.logical_and(k < max_rounds, alive)
+
+        def obody(c):
+            k, S6c_, _, it, ov = c
+            key = 1 - ready_of(S6c_, pc_t, pc_e).astype(i32)
+            _, idsc = jax.lax.sort((key, iota_c), num_keys=1)
+            selc = idsc[:AC]
+            S6a = jnp.take(S6c_, selc, axis=1)
+            pa_t = jnp.take(pc_t, selc, axis=1)
+            pa_e = jnp.take(pc_e, selc, axis=1)
+            rays_a = jnp.take(ray_rows_c, selc, axis=1)
+            oct_a = jnp.take(octc, selc)
+
+            def icond(ic):
+                kk, S6a_, alive, _, _ = ic
+                return jnp.logical_and(kk < max_rounds, alive)
+
+            def ibody(ic):
+                kk, S6a_, _, iti, ovi = ic
+                rot = jax.lax.rem(kk * jnp.asarray(997, i32),
+                                  jnp.asarray(T, i32))
+                wtid, wtt, validk = window_of(S6a_, pa_t, pa_e, K2)
+                outp, advk, itn, ovn = pair_pass(
+                    wtid, wtt, validk, rays_a, S6a_[0], oct_a, K2,
+                    tail_block, rot)
+                S6n = merge_results(S6a_, validk, outp, advk, K2)
+                return (kk + 1, S6n, jnp.any(ready_of(S6n, pa_t, pa_e)),
+                        iti + itn, jnp.maximum(ovi, ovn))
+
+            k, S6a, _, it, ov = jax.lax.while_loop(
+                icond, ibody,
+                (k, S6a, jnp.any(ready_of(S6a, pa_t, pa_e)), it, ov))
+            S6c_ = S6c_.at[:, selc].set(S6a)
+            return (k, S6c_, jnp.any(ready_of(S6c_, pc_t, pc_e)), it, ov)
+
+        init = (jnp.asarray(1, i32), S6c,
+                jnp.any(ready_of(S6c, pc_t, pc_e)), it1.astype(f32), ov1)
+        k, S6c, _, iters_c, ovf_c = jax.lax.while_loop(ocond, obody, init)
+        # unfinished work (max_rounds cut a capped/replaying schedule
+        # short) would mean silently missing hits: flag it (povf bit 8)
+        povf_c = povf_c + 8.0 * jnp.any(
+            ready_of(S6c, pc_t, pc_e)).astype(f32)
+        return S6c, k, iters_c, ovf_c, povf_c
+
+    # ---- chunk loop + single scatter write-back ------------------------
+    out0 = (
+        jnp.full((Rp,), jnp.inf, f32),        # best t
+        jnp.zeros((Rp,), f32),                # u
+        jnp.zeros((Rp,), f32),                # v
+        jnp.full((Rp,), -1.0, f32),           # best pos
+    )
+
+    def ccond(c):
+        j = c[0]
+        return jnp.logical_and(j < n_chunks, j * Rc < nready)
+
+    def cbody(c):
+        j, out4, rounds, iters, ovf, povf_i = c
+        sel = jax.lax.dynamic_slice(ids, (j * Rc,), (Rc,))
+        S6c, k, iters_c, ovf_c, povf_c = run_chunk(sel)
+        out4 = (
+            out4[0].at[sel].set(S6c[1]),
+            out4[1].at[sel].set(S6c[2]),
+            out4[2].at[sel].set(S6c[3]),
+            out4[3].at[sel].set(S6c[4]),
         )
+        return (j + 1, out4, rounds + k, iters + iters_c,
+                jnp.maximum(ovf, ovf_c),
+                povf_i | povf_c.astype(i32))
 
-        # -- unsort by the kernel's pair-id echo, merge K per ray --------
-        if capped:
-            # pairs whose run spilled past the block cap were never
-            # processed: append filler echoes (pid, inert results,
-            # drop=1) so the unsort stays aligned over all L pairs
-            drop_sorted = (lane_slot >= NBL * blk).astype(f32)
-            fill_pid = jnp.where(drop_sorted > 0, dataS[8, :L], float(L))
-            inf_l = jnp.full((L,), jnp.inf, f32)
-            zero_l = jnp.zeros((L,), f32)
-            ops6 = (
-                jnp.concatenate([fout[4], fill_pid]),
-                jnp.concatenate([fout[0], inf_l]),
-                jnp.concatenate([fout[1], zero_l]),
-                jnp.concatenate([fout[2], zero_l]),
-                jnp.concatenate([fout[3], -jnp.ones((L,), f32)]),
-                jnp.concatenate([jnp.zeros((fout.shape[1],), f32),
-                                 drop_sorted]),
-            )
-            so = jax.lax.sort(ops6, num_keys=1)
-            out_pair = jnp.stack(so[1:5])[:, :L].reshape(4, K, Rc)
-            dropk = so[5][:L].reshape(K, Rc) > 0
-            # cursor only advances to the first dropped portal
-            adv = jnp.full((Rc,), K, i32)
-            for j in range(K - 1, -1, -1):
-                adv = jnp.where(dropk[j], j, adv)
-        else:
-            so = jax.lax.sort(
-                (fout[4], fout[0], fout[1], fout[2], fout[3]),
-                num_keys=1)
-            out_pair = jnp.stack(so[1:])[:, :L].reshape(4, K, Rc)
-            adv = K
-
-        # first-j strict-min keeps the near-to-far tie rule (fresh-hit
-        # kernel results fold into each ray's prior best)
-        n_tmax = Ssel[0]
-        n_bt, n_bu, n_bv, n_pos = Ssel[1], Ssel[2], Ssel[3], Ssel[4]
-        if any_hit:
-            # first-j hit wins; tmax never shrinks on any-hit
-            for j in range(K):
-                hitj = validk[j] & (out_pair[3, j] >= 0) & (n_pos < 0)
-                n_bt = jnp.where(hitj, out_pair[0, j], n_bt)
-                n_bu = jnp.where(hitj, out_pair[1, j], n_bu)
-                n_bv = jnp.where(hitj, out_pair[2, j], n_bv)
-                n_pos = jnp.where(hitj, out_pair[3, j], n_pos)
-        else:
-            for j in range(K):
-                better = validk[j] & (out_pair[0, j] < n_bt)
-                n_bt = jnp.where(better, out_pair[0, j], n_bt)
-                n_bu = jnp.where(better, out_pair[1, j], n_bu)
-                n_bv = jnp.where(better, out_pair[2, j], n_bv)
-                n_pos = jnp.where(better, out_pair[3, j], n_pos)
-            n_tmax = jnp.minimum(n_tmax, n_bt)
-        new6 = jnp.stack([n_tmax, n_bt, n_bu, n_bv, n_pos,
-                          Ssel[5] + adv])
-
-        blk_iters = jnp.sum(fout[5].reshape(NBL, blk)[:, 0])
-        any_ovf = jnp.max(fout[6])
-        if scatter_back:
-            return S6.at[:, sel].set(new6), blk_iters, any_ovf
-        old_tail = jnp.take(S6, ids[Rc:], axis=1)     # [6, Rp - Rc]
-        rows_cat = jnp.concatenate([new6, old_tail], axis=1)
-        sorted_back = jax.lax.sort(
-            (ids,) + tuple(rows_cat[i] for i in range(6)), num_keys=1)
-        return jnp.stack(sorted_back[1:]), blk_iters, any_ovf
-
-    S6 = jnp.stack([
-        tmax0,
-        jnp.full((Rp,), jnp.inf, f32),    # best t
-        jnp.zeros((Rp,), f32),            # u
-        jnp.zeros((Rp,), f32),            # v
-        jnp.full((Rp,), -1.0, f32),       # best pos
-        jnp.zeros((Rp,), f32),            # cursor
-    ])
-
-    # Big round 1 (covers ~all of a primary-ray workload), then small
-    # tail rounds for the few stragglers — tail glue cost ∝ tail_cap.
-    Rc1 = min(sel_cap, Rp)
-    K1 = portals_per_round
-    if tail_cap is None:
-        tail_cap = min(max(tail_block, _round_up(Rc1 // 8, tail_block)),
-                       Rp)
-    else:
-        tail_cap = min(_round_up(tail_cap, tail_block), Rp)
-    K2 = portals_per_round
-
-    S6, it1, ov1 = round_step(S6, ptid, ptent, ray_rows, iota_r,
-                              Rc1, K1, block, scatter_back=False)
-
-    # ---- compacted tail rounds ---------------------------------------
-    # After round 1 only stragglers remain ready, and readiness is
-    # monotone (see ready_of), so the survivors are gathered ONCE into
-    # a [*, AC] active set; every tail round then sorts/gathers at
-    # width AC instead of Rp (the full-width per-round glue used to
-    # cost ~2/3 of a sponza render). If more than AC rays are ready,
-    # the outer loop simply compacts again once the first set drains.
-    AC = tail_cap
-    iota_ac = jax.lax.broadcasted_iota(i32, (AC, 1), 0)[:, 0]
-
-    def ocond(c):
-        k, S6, alive, it, ov = c
-        return jnp.logical_and(k < max_rounds, alive)
-
-    def obody(c):
-        k, S6, _, it, ov = c
-        key = 1 - ready_of(S6, ptid, ptent).astype(i32)
-        _, ids = jax.lax.sort((key, iota_r), num_keys=1)
-        sel = ids[:AC]
-        S6c = jnp.take(S6, sel, axis=1)
-        pc_t = jnp.take(ptid, sel, axis=1)
-        pc_e = jnp.take(ptent, sel, axis=1)
-        rays_c = jnp.take(ray_rows, sel, axis=1)
-
-        def icond(ic):
-            kk, S6c_, alive, _, _ = ic
-            return jnp.logical_and(kk < max_rounds, alive)
-
-        def ibody(ic):
-            kk, S6c_, _, iti, ovi = ic
-            rot = jax.lax.rem(kk * jnp.asarray(997, i32),
-                              jnp.asarray(T, i32))
-            S6n, itn, ovn = round_step(S6c_, pc_t, pc_e, rays_c, iota_ac,
-                                       AC, K2, tail_block,
-                                       scatter_back=True, rot=rot)
-            return (kk + 1, S6n, jnp.any(ready_of(S6n, pc_t, pc_e)),
-                    iti + itn, jnp.maximum(ovi, ovn))
-
-        k, S6c, _, it, ov = jax.lax.while_loop(
-            icond, ibody,
-            (k, S6c, jnp.any(ready_of(S6c, pc_t, pc_e)), it, ov))
-        S6 = S6.at[:, sel].set(S6c)
-        return (k, S6, jnp.any(ready_of(S6, ptid, ptent)), it, ov)
-
-    init = (jnp.asarray(1, i32), S6, jnp.any(ready_of(S6, ptid, ptent)),
-            it1.astype(f32), ov1)
-    k, S6, _, iters, ovf = jax.lax.while_loop(ocond, obody, init)
-    # unfinished work (max_rounds cut a capped/replaying schedule
-    # short) would mean silently missing hits: flag it (povf bit 8)
-    povf = povf + 8.0 * jnp.any(ready_of(S6, ptid, ptent)).astype(f32)
-    return S6[1], S6[2], S6[3], S6[4], cnt[0], k, iters, ovf, povf
+    init = (jnp.asarray(0, i32), out0, jnp.asarray(0, i32),
+            jnp.zeros((), f32), jnp.zeros((), f32), jnp.asarray(0, i32))
+    _, out4, rounds, iters, ovf, povf_i = jax.lax.while_loop(
+        ccond, cbody, init)
+    return (out4[0], out4[1], out4[2], out4[3], cnt[0], rounds, iters,
+            ovf, povf_i.astype(f32))
 
 
 def wide_treelet_intersect_tris(
