@@ -48,11 +48,21 @@ def main():
     raise last
 
 
+def _scene_hash(tris):
+    """Content hash of the scene so a stale /tmp cache from a different
+    scene-generator version cannot silently survive."""
+    import hashlib
+
+    return hashlib.sha256(
+        np.ascontiguousarray(tris, dtype=np.float32).tobytes()
+    ).hexdigest()[:16]
+
+
 def _build_bvh(tris):
-    """Quality-high BVH, cached on disk. Prefers the native library
-    (sub-second, reference pipeline); falls back to the on-device LBVH
-    when the shared library is unavailable."""
-    cache = f"/tmp/bench_sponza_{N_TRIS}.bvh"
+    """Quality-high BVH, cached on disk (keyed by scene content hash).
+    Prefers the native library (sub-second, reference pipeline); falls
+    back to the on-device LBVH when the shared library is unavailable."""
+    cache = f"/tmp/bench_sponza_{N_TRIS}_{_scene_hash(tris)}.bvh"
     if not os.path.exists(cache):
         try:
             from bvh_tpu.api.native import NativeBvh3f, load_library
@@ -108,8 +118,8 @@ def _run():
     from bvh_tpu.traverse.wide_treelet import _lcm, _round_up
 
     tl = build_wide_treelets(bvh, flat, max_prims=1024)
-    Rp = _round_up(R, _lcm(1024, 8192))
-    kw = dict(block=1024, tail_block=256, top_block=8192, top_stack=48,
+    Rp = _round_up(R, _lcm(512, 8192))
+    kw = dict(block=512, tail_block=128, top_block=8192, top_stack=48,
               stack_depth=24, max_portals=32, max_rounds=64,
               portals_per_round=4, sel_cap=Rp // 8)
 

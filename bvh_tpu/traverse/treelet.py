@@ -230,9 +230,16 @@ def build_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
 
 # ---------------------------------------------------------------- phase A
 def _collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
-                    *, dim, robust, stack_depth, max_portals):
+                    *, dim, robust, stack_depth, max_portals,
+                    fetch_chunk=None):
     """Traverse the top region; record (entry t, portal) per ray for
-    every portal (leaf word) whose box is entered."""
+    every portal (leaf word) whose box is entered.
+
+    `fetch_chunk`: when set, the per-step one-hot node fetch streams
+    the node table in column chunks of this size, so peak VMEM for the
+    one-hot intermediate is fetch_chunk x block instead of
+    table_cols x block (the San-Miguel-scale fix: a 4K-column top
+    table at top_block 8192 would otherwise need a 128 MB one-hot)."""
     B = ray_ref.shape[1]
     f32, i32 = jnp.float32, jnp.int32
     rays = ray_ref[:, :]
@@ -256,13 +263,22 @@ def _collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
     neg = jnp.signbit(dir_)
     table = node_ref[:, :]
 
+    n_cols = table.shape[1]
+    chunk = n_cols if fetch_chunk is None else min(fetch_chunk, n_cols)
+
     def fetch(idx):
-        iota = jax.lax.broadcasted_iota(i32, (table.shape[1], B), 0)
-        oh = (iota == idx).astype(f32)
-        return jax.lax.dot_general(
-            table, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
-        )
+        acc = None
+        for c in range(0, n_cols, chunk):
+            w = min(chunk, n_cols - c)
+            iota = jax.lax.broadcasted_iota(i32, (w, B), 0) + c
+            oh = (iota == idx).astype(f32)
+            part = jax.lax.dot_general(
+                table[:, c:c + w], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc = part if acc is None else acc + part
+        return acc
 
     def slab(bounds):
         t0, t1 = tmin, tmax0

@@ -596,6 +596,7 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         jnp.full((1, B), -1, i32),             # best pos
         jnp.zeros((1, B), i32),                # iterations
         jnp.zeros((1, B), i32),                # sticky stack overflow
+        jnp.zeros((1, B), i32),                # per-lane active steps
     )
 
     def cond(s):
@@ -603,8 +604,9 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
 
     def body(s):
         (stack, sp, top, leaf_cur, leaf_rem, active_i, tmax,
-         best_t, best_u, best_v, best_pos, iters, ovf) = s
+         best_t, best_u, best_v, best_pos, iters, ovf, asteps) = s
         iters = iters + 1
+        asteps = asteps + active_i
         active = active_i > 0
         in_leaf = active & (leaf_rem > 0)
 
@@ -713,13 +715,14 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~done_by_hit & ~(need_pop & ~can_pop)
         return (stack, sp, top, leaf_cur, leaf_rem, active.astype(i32),
-                tmax, best_t, best_u, best_v, best_pos, iters, ovf)
+                tmax, best_t, best_u, best_v, best_pos, iters, ovf,
+                asteps)
 
     out = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos,
-     iters, ovf) = out
+     iters, ovf, asteps) = out
     return (best_t, best_u, best_v, best_pos.astype(f32),
-            iters.astype(f32), ovf.astype(f32))
+            iters.astype(f32), ovf.astype(f32), asteps.astype(f32))
 
 
 def _wide_kernel_pair(tid_ref, table_ref, pair_ref, out_ref,
@@ -731,16 +734,16 @@ def _wide_kernel_pair(tid_ref, table_ref, pair_ref, out_ref,
     valid(9). out rows: best t/u/v/pos(0-3), pair id echo(4, so the
     driver can unsort results with one payload sort), iterations(5 —
     the traversal-stats hook, benchmark.cpp:258-267 analogue),
-    stack-overflow flag(6), unused(7)."""
+    stack-overflow flag(6), per-lane active steps(7 — lane_steps /
+    (block_iters * block) is the lockstep occupancy)."""
     del tid_ref
     pair = pair_ref[:, :]
     active = pair[9:10] > 0
-    bt, bu, bv, pos, iters, ovf = _traverse_core(
+    bt, bu, bv, pos, iters, ovf, asteps = _traverse_core(
         table_ref[0], pair[0:3], pair[3:6], pair[6:7], pair[7:8], active,
         any_hit=any_hit, robust=robust, stack_depth=stack_depth)
     out_ref[:, :] = jnp.concatenate(
-        [bt, bu, bv, pos, pair[8:9], iters, ovf,
-         jnp.zeros_like(bt)], axis=0)
+        [bt, bu, bv, pos, pair[8:9], iters, ovf, asteps], axis=0)
 
 
 def _wide_kernel_dma(tid_ref, start128_ref, off_ref, erel_ref, table_ref,
@@ -790,11 +793,11 @@ def _wide_kernel_dma(tid_ref, start128_ref, off_ref, erel_ref, table_ref,
     window = jax.lax.broadcasted_iota(i32, (1, B), 1) < erel_ref[i]
     active = window & (pair[9:10] > 0)
     pid = jnp.where(window, pair[8:9], jnp.asarray(float(n_pairs), f32))
-    bt, bu, bv, pos, iters, ovf = _traverse_core(
+    bt, bu, bv, pos, iters, ovf, asteps = _traverse_core(
         table_ref[0], pair[0:3], pair[3:6], pair[6:7], pair[7:8], active,
         any_hit=any_hit, robust=robust, stack_depth=stack_depth)
     out_ref[:, :] = jnp.concatenate(
-        [bt, bu, bv, pos, pid, iters, ovf, jnp.zeros_like(bt)], axis=0)
+        [bt, bu, bv, pos, pid, iters, ovf, asteps], axis=0)
 
 
 def _phase_b(btid, bstart, berel, table, data, *, block, any_hit, robust,
@@ -1104,17 +1107,40 @@ def _lcm(a, b):
     return a * b // int(np.gcd(a, b))
 
 
+def phase_a_plan(cols, top_block, *, top_stack=48, max_portals=32,
+                 budget_bytes=96 * 1024 * 1024):
+    """Pre-compile VMEM estimate for the phase-A collect kernel; picks
+    (top_block, fetch_chunk) that fit the budget instead of dying in
+    the remote Mosaic compile (the round-2 San-Miguel failure mode).
+
+    Per-block VMEM words: the node table (8 x cols), the ray block
+    (8 x B), the portal outputs ((2*MP+8) x B), the traversal stack
+    (top_stack x B), and the one-hot fetch intermediate (chunk x B,
+    the dominant term at scale)."""
+    while True:
+        fixed = 8 * cols + (16 + 2 * max_portals + top_stack) * top_block
+        room = budget_bytes // 4 - fixed
+        chunk = min(cols, max(512, room // max(top_block, 1) // 128 * 128))
+        est = (fixed + chunk * top_block) * 4
+        if est <= budget_bytes or top_block <= 1024:
+            break
+        top_block //= 2
+    fetch_chunk = None if chunk >= cols else chunk
+    return top_block, fetch_chunk
+
+
 @partial(jax.jit, static_argnames=(
     "top_root", "any_hit", "robust", "block", "tail_block", "top_block",
     "top_stack", "stack_depth", "max_portals", "max_rounds", "sel_cap",
     "portals_per_round", "interpret", "sup_stack", "max_new", "k2",
-    "mps", "a2_cap", "max_runs", "tail_cap"))
+    "mps", "a2_cap", "max_runs", "tail_cap", "fetch_chunk"))
 def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
                 any_hit, robust,
                 block, tail_block, top_block, top_stack, stack_depth,
                 max_portals, max_rounds, sel_cap, portals_per_round,
                 interpret, sup_stack=8, max_new=16, k2=2, mps=16,
-                a2_cap=None, max_runs=4096, tail_cap=None):
+                a2_cap=None, max_runs=4096, tail_cap=None,
+                fetch_chunk=None):
     """The whole render in ONE jitted call: phase-A collect, a single
     compaction to the rays that reached any treelet, dense pair rounds
     over the compact set, and one scatter write-back — zero host
@@ -1172,7 +1198,8 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         ],
     )
     kernel = partial(_collect_kernel, dim=3, robust=robust,
-                     stack_depth=top_stack, max_portals=MP)
+                     stack_depth=top_stack, max_portals=MP,
+                     fetch_chunk=fetch_chunk)
     ptid, ptent, cnt = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1341,8 +1368,9 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             out_pair = jnp.stack(so[1:])[:, :L].reshape(4, K, W)
             adv = K
         blk_iters = jnp.sum(fout[5].reshape(NBL, blk)[:, 0])
+        lane_steps = jnp.sum(fout[7])
         any_ovf = jnp.max(fout[6])
-        return out_pair, adv, blk_iters, any_ovf
+        return out_pair, adv, blk_iters, lane_steps, any_ovf
 
     def merge_results(S6sel, validk, out_pair, adv, K):
         """Fold fresh kernel hits into each ray's prior best.  First-j
@@ -1550,7 +1578,7 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         wtid1 = pc_t[:K1]
         wtt1 = pc_e[:K1]
         validk1 = (wtid1 >= 0) & (wtt1 <= tmaxc[None, :])
-        out_pair, adv, it1, ov1 = pair_pass(
+        out_pair, adv, it1, ls1, ov1 = pair_pass(
             wtid1, wtt1, validk1, ray_rows_c, tmaxc, octc, K1, block,
             None)
         S6c = merge_results(S6c, validk1, out_pair, adv, K1)
@@ -1562,11 +1590,11 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         # more than AC rays are ready, the outer loop compacts again
         # once the first set drains.
         def ocond(c):
-            k, S6c_, alive, it, ov = c
+            k, S6c_, alive, it, ls, ov = c
             return jnp.logical_and(k < max_rounds, alive)
 
         def obody(c):
-            k, S6c_, _, it, ov = c
+            k, S6c_, _, it, ls, ov = c
             key = 1 - ready_of(S6c_, pc_t, pc_e).astype(i32)
             _, idsc = jax.lax.sort((key, iota_c), num_keys=1)
             selc = idsc[:AC]
@@ -1577,35 +1605,38 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             oct_a = jnp.take(octc, selc)
 
             def icond(ic):
-                kk, S6a_, alive, _, _ = ic
+                kk, S6a_, alive, _, _, _ = ic
                 return jnp.logical_and(kk < max_rounds, alive)
 
             def ibody(ic):
-                kk, S6a_, _, iti, ovi = ic
+                kk, S6a_, _, iti, lsi, ovi = ic
                 rot = jax.lax.rem(kk * jnp.asarray(997, i32),
                                   jnp.asarray(T, i32))
                 wtid, wtt, validk = window_of(S6a_, pa_t, pa_e, K2)
-                outp, advk, itn, ovn = pair_pass(
+                outp, advk, itn, lsn, ovn = pair_pass(
                     wtid, wtt, validk, rays_a, S6a_[0], oct_a, K2,
                     tail_block, rot)
                 S6n = merge_results(S6a_, validk, outp, advk, K2)
                 return (kk + 1, S6n, jnp.any(ready_of(S6n, pa_t, pa_e)),
-                        iti + itn, jnp.maximum(ovi, ovn))
+                        iti + itn, lsi + lsn, jnp.maximum(ovi, ovn))
 
-            k, S6a, _, it, ov = jax.lax.while_loop(
+            k, S6a, _, it, ls, ov = jax.lax.while_loop(
                 icond, ibody,
-                (k, S6a, jnp.any(ready_of(S6a, pa_t, pa_e)), it, ov))
+                (k, S6a, jnp.any(ready_of(S6a, pa_t, pa_e)), it, ls, ov))
             S6c_ = S6c_.at[:, selc].set(S6a)
-            return (k, S6c_, jnp.any(ready_of(S6c_, pc_t, pc_e)), it, ov)
+            return (k, S6c_, jnp.any(ready_of(S6c_, pc_t, pc_e)), it, ls,
+                    ov)
 
         init = (jnp.asarray(1, i32), S6c,
-                jnp.any(ready_of(S6c, pc_t, pc_e)), it1.astype(f32), ov1)
-        k, S6c, _, iters_c, ovf_c = jax.lax.while_loop(ocond, obody, init)
+                jnp.any(ready_of(S6c, pc_t, pc_e)), it1.astype(f32),
+                ls1, ov1)
+        k, S6c, _, iters_c, lanes_c, ovf_c = jax.lax.while_loop(
+            ocond, obody, init)
         # unfinished work (max_rounds cut a capped/replaying schedule
         # short) would mean silently missing hits: flag it (povf bit 8)
         povf_c = povf_c + 8.0 * jnp.any(
             ready_of(S6c, pc_t, pc_e)).astype(f32)
-        return S6c, k, iters_c, ovf_c, povf_c
+        return S6c, k, iters_c, lanes_c, ovf_c, povf_c
 
     # ---- chunk loop + single scatter write-back ------------------------
     out0 = (
@@ -1620,9 +1651,9 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         return jnp.logical_and(j < n_chunks, j * Rc < nready)
 
     def cbody(c):
-        j, out4, rounds, iters, ovf, povf_i = c
+        j, out4, rounds, iters, lanes, ovf, povf_i = c
         sel = jax.lax.dynamic_slice(ids, (j * Rc,), (Rc,))
-        S6c, k, iters_c, ovf_c, povf_c = run_chunk(sel)
+        S6c, k, iters_c, lanes_c, ovf_c, povf_c = run_chunk(sel)
         out4 = (
             out4[0].at[sel].set(S6c[1]),
             out4[1].at[sel].set(S6c[2]),
@@ -1630,15 +1661,16 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             out4[3].at[sel].set(S6c[4]),
         )
         return (j + 1, out4, rounds + k, iters + iters_c,
-                jnp.maximum(ovf, ovf_c),
+                lanes + lanes_c, jnp.maximum(ovf, ovf_c),
                 povf_i | povf_c.astype(i32))
 
     init = (jnp.asarray(0, i32), out0, jnp.asarray(0, i32),
-            jnp.zeros((), f32), jnp.zeros((), f32), jnp.asarray(0, i32))
-    _, out4, rounds, iters, ovf, povf_i = jax.lax.while_loop(
+            jnp.zeros((), f32), jnp.zeros((), f32), jnp.zeros((), f32),
+            jnp.asarray(0, i32))
+    _, out4, rounds, iters, lanes, ovf, povf_i = jax.lax.while_loop(
         ccond, cbody, init)
     return (out4[0], out4[1], out4[2], out4[3], cnt[0], rounds, iters,
-            ovf, povf_i.astype(f32))
+            lanes, ovf, povf_i.astype(f32))
 
 
 def wide_treelet_intersect_tris(
@@ -1677,16 +1709,19 @@ def wide_treelet_intersect_tris(
     block multiple); rays beyond the cap simply wait a round.
     `portals_per_round`: portals expanded per selected ray per round."""
     R = rays.tmin.shape[0]
-    Rp = _round_up(R, _lcm(block, top_block))
-    if sel_cap is None:
-        sel_cap = max(block, _round_up(Rp // 4, block))
-    sel_cap = min(_round_up(sel_cap, block), Rp)
     # Exact stack sizing by default (no silent overflow possible; an
     # explicit smaller value is guarded by the sticky overflow flag).
     if top_stack is None:
         top_stack = tl.top_depth + 1
     if stack_depth is None:
         stack_depth = 7 * tl.wide_depth + 8
+    top_block, fetch_chunk = phase_a_plan(
+        tl.top_node_t.shape[1], top_block, top_stack=top_stack,
+        max_portals=max_portals)
+    Rp = _round_up(R, _lcm(block, top_block))
+    if sel_cap is None:
+        sel_cap = max(block, _round_up(Rp // 4, block))
+    sel_cap = min(_round_up(sel_cap, block), Rp)
     packed = jnp.zeros((8, Rp), jnp.float32)
     packed = packed.at[0:3, :R].set(rays.org.T)
     packed = packed.at[3:6, :R].set(rays.dir.T)
@@ -1696,7 +1731,8 @@ def wide_treelet_intersect_tris(
         packed = packed.at[6, R:].set(1.0)  # tmin > tmax: inactive
         packed = packed.at[3, R:].set(1.0)
 
-    bt, bu, bv, pos_f, pcnt, rounds, iters, ovf, povf = _render_jit(
+    (bt, bu, bv, pos_f, pcnt, rounds, iters, lanes, ovf,
+     povf) = _render_jit(
         tl.top_node_t, tl.table, packed, tl.sup_table,
         top_root=tl.top_root, any_hit=any_hit, robust=robust, block=block,
         tail_block=tail_block, top_block=top_block, top_stack=top_stack,
@@ -1705,6 +1741,7 @@ def wide_treelet_intersect_tris(
         portals_per_round=portals_per_round, interpret=interpret,
         sup_stack=tl.sup_depth + 1, max_new=max_new, k2=k2, mps=mps,
         a2_cap=a2_cap, max_runs=max_runs, tail_cap=tail_cap,
+        fetch_chunk=fetch_chunk,
     )
     # the overflow checks read back scalars, which synchronizes the
     # whole render (~35 ms tunnel roundtrip); benchmarks that pipeline
@@ -1763,6 +1800,7 @@ def wide_treelet_intersect_tris(
     )
     if return_diag:
         return hit, {"rounds": rounds, "block_iters": iters,
+                     "lane_steps": lanes,
                      "stack_overflow": ovf, "portal_overflow": povf}
     return hit
 
@@ -1784,6 +1822,10 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
 
     block = kw.get("block", 1024)
     top_block = kw.get("top_block", 8192)
+    top_block, fetch_chunk = phase_a_plan(
+        tl.top_node_t.shape[1], top_block,
+        top_stack=kw.get("top_stack") or tl.top_depth + 1,
+        max_portals=kw.get("max_portals", 32))
     R = rays.tmin.shape[0]
     Rp = _round_up(R, _lcm(block, top_block))
     sel_cap = kw.get("sel_cap") or min(
@@ -1810,7 +1852,7 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         sup_stack=tl.sup_depth + 1, max_new=kw.get("max_new", 16),
         k2=kw.get("k2", 2), mps=kw.get("mps", 16),
         a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
-        tail_cap=kw.get("tail_cap"))
+        tail_cap=kw.get("tail_cap"), fetch_chunk=fetch_chunk)
 
     @jax.jit
     def run(top_node_t, table, sup_table, packed):

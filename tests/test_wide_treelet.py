@@ -191,3 +191,38 @@ def test_capped_runs_replay_matches(scene):
     b = wide_treelet_intersect_tris(tl, rays, max_runs=8,
                                     max_rounds=512, **kw)
     _hits_match(a, b, rays.tmin.shape[0])
+
+
+def test_chunked_phase_a_fetch_bit_identical(scene, monkeypatch):
+    """The San-Miguel-scale chunked one-hot fetch (phase_a_plan picking
+    a fetch_chunk smaller than the top table) must be bit-identical to
+    the single-shot fetch: the one-hot dot sums exact zeros either way."""
+    import bvh_tpu.traverse.wide_treelet as wt
+
+    bvh, flat, rays = scene
+    tl = build_wide_treelets(bvh, flat, max_prims=64)
+    assert tl.top_node_t.shape[1] > 16, "need a multi-column top table"
+    kw = dict(prim_ids=bvh.prim_ids, block=256, top_block=256,
+              sel_cap=1024, interpret=True)
+    base = wide_treelet_intersect_tris(tl, rays, **kw)
+    monkeypatch.setattr(wt, "phase_a_plan",
+                        lambda cols, tb, **k: (tb, 8))
+    chunked = wide_treelet_intersect_tris(tl, rays, **kw)
+    t1, t2 = np.asarray(base.t), np.asarray(chunked.t)
+    assert ((t1 == t2) | (np.isinf(t1) & np.isinf(t2))).all()
+    assert np.array_equal(np.asarray(base.prim_id),
+                          np.asarray(chunked.prim_id))
+
+
+def test_phase_a_plan_budget():
+    """phase_a_plan keeps the one-hot intermediate inside the VMEM
+    budget for San-Miguel-scale top tables instead of letting the
+    Mosaic compile fail (round-2 failure mode)."""
+    from bvh_tpu.traverse.wide_treelet import phase_a_plan
+
+    tb, chunk = phase_a_plan(376, 8192)
+    assert (tb, chunk) == (8192, None), "small tables untouched"
+    tb, chunk = phase_a_plan(16384, 8192)
+    assert chunk is not None and chunk % 128 == 0
+    est = (8 * 16384 + (16 + 64 + 48) * tb + chunk * tb) * 4
+    assert est <= 96 * 1024 * 1024

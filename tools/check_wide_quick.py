@@ -48,8 +48,11 @@ def main():
         tl, rays, check_overflow=True, return_diag=True, **kw)
     n_hits = int(np.asarray(np.isfinite(hit.t)).sum())
     print(f"compile+run: {time.perf_counter()-t0:.1f} s")
+    bi = int(diag['block_iters'])
+    ls = int(diag['lane_steps'])
     print(f"hits: {n_hits} (oracle 81790) rounds={int(diag['rounds'])} "
-          f"block_iters={int(diag['block_iters'])} "
+          f"block_iters={bi} lane_steps={ls} "
+          f"occupancy={ls / max(bi * 1024, 1):.3f} "
           f"ovf={int(diag['stack_overflow'])}")
     assert n_hits == 81790, n_hits
 

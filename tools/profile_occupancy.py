@@ -1,0 +1,234 @@
+"""Round-1 occupancy analysis: measure per-pair kernel step counts on
+hardware once, then simulate block_iters for alternative block sizes
+and within-run orderings host-side (a pair's step count depends only on
+its (ray, treelet) traversal, not on the blocking).
+
+Prints, per candidate (block size x ordering): simulated block-iters,
+est. kernel ms (iters x per-iter cost model), and occupancy.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+i32, f32 = jnp.int32, jnp.float32
+
+
+def main():
+    n = 262_144
+    side = 1024
+    from bvh_tpu.cli.camera import primary_rays
+    from bvh_tpu.geom.tri import PrecomputedTri, Tri
+    from bvh_tpu.io.scenes import scene_camera, sponza_class
+    from bvh_tpu.io.serialize import load_bvh
+    from bvh_tpu.traverse import wide_treelet as wt
+
+    tris = sponza_class(n, seed=0)
+    bvh = load_bvh(f"/tmp/bench_sponza_{n}.bvh")
+    tri = Tri(*(jnp.asarray(tris[:, i]) for i in range(3)))
+    flat = PrecomputedTri.from_tri(tri).as_flat()
+    eye, d, up = scene_camera(tris)
+    rays = primary_rays(eye, d, up, side, side)
+    R = side * side
+    tl = wt.build_wide_treelets(bvh, flat, max_prims=1024)
+    T = tl.table.shape[0]
+    block, top_block, MP, K = 1024, 8192, 32, 4
+    Rp = wt._round_up(R, wt._lcm(block, top_block))
+    Rc = Rp // 8
+
+    packed = np.zeros((8, Rp), np.float32)
+    packed[0:3, :R] = np.asarray(rays.org.T)
+    packed[3:6, :R] = np.asarray(rays.dir.T)
+    packed[6, :R] = np.asarray(rays.tmin)
+    packed[7, :R] = np.asarray(rays.tmax)
+    packed[6, R:] = 1.0
+    packed[3, R:] = 1.0
+    packed = jnp.asarray(packed)
+
+    # ---- phase A + compact + round-1 window (mirrors _render_jit) ----
+    from bvh_tpu.traverse.treelet import _collect_kernel
+    from jax.experimental import pallas as pl
+
+    @jax.jit
+    def phase_a(top_node_t, packed):
+        root = jnp.full((8, 128), tl.top_root, i32)
+        grid_spec = pl.GridSpec(
+            grid=(Rp // top_block,),
+            in_specs=[
+                pl.BlockSpec(top_node_t.shape, lambda i: (0, 0)),
+                pl.BlockSpec((8, top_block), lambda i: (0, i)),
+                pl.BlockSpec((8, 128), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((MP, top_block), lambda i: (0, i)),
+                pl.BlockSpec((MP, top_block), lambda i: (0, i)),
+                pl.BlockSpec((8, top_block), lambda i: (0, i)),
+            ],
+        )
+        kernel = partial(_collect_kernel, dim=3, robust=False,
+                         stack_depth=48, max_portals=MP)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((MP, Rp), i32),
+                       jax.ShapeDtypeStruct((MP, Rp), f32),
+                       jax.ShapeDtypeStruct((8, Rp), i32)],
+        )(top_node_t, packed, root)
+
+    ptid, ptent, cnt = phase_a(tl.top_node_t, packed)
+    ready0 = np.asarray(cnt[0]) > 0
+    order = np.argsort(~ready0, kind="stable")
+    sel = order[:Rc]
+    pt0 = np.asarray(ptid)[:, sel]
+    pe0 = np.asarray(ptent)[:, sel]
+    rayc = np.asarray(packed)[:, sel]
+    srt = np.argsort(pe0, axis=0, kind="stable")
+    pc_t = np.take_along_axis(pt0, srt, axis=0)
+    pc_e = np.take_along_axis(pe0, srt, axis=0)
+    wtid = pc_t[:K]                        # [K, Rc]
+    wtt = pc_e[:K]
+    validk = (wtid >= 0) & (wtt <= rayc[7][None, :])
+    neg = np.signbit(rayc[3:6]).astype(np.int64)
+    oct_ = neg[0] + 2 * neg[1] + 4 * neg[2]
+    nvalid = int(validk.sum())
+    print(f"T={T} Rc={Rc} ready={int(ready0.sum())} "
+          f"valid pairs={nvalid}", flush=True)
+
+    # ---- one hardware pass at block=1024 to get per-pair steps -------
+    L = K * Rc
+    keyL = np.where(validk, wtid * 8 + oct_[None, :], T * 8).reshape(L)
+    entL = np.where(validk, wtt, np.inf).reshape(L)
+    srt_pairs = np.lexsort((entL, keyL))
+    keyS = keyL[srt_pairs]
+    tidS = keyS >> 3
+    ray_of_pair = (srt_pairs % Rc)
+    rows10 = np.concatenate(
+        [np.tile(rayc[0:7], (1, K)),
+         np.tile(rayc[7:8], (1, K)),
+         np.arange(L, dtype=np.float32)[None, :],
+         validk.reshape(1, L).astype(np.float32)], axis=0)
+    dataS_np = rows10[:, srt_pairs]
+
+    blk = 1024
+    iota_L = np.arange(L, dtype=np.int64)
+    prev = np.concatenate([[-1], tidS[:-1]])
+    flag = tidS != prev
+    run_start = np.maximum.accumulate(np.where(flag, iota_L, 0))
+    prev_start = np.concatenate([[0], run_start[:-1]])
+    prev_len = np.where(flag, iota_L - prev_start, 0)
+    pad_delta = np.where(flag, (-prev_len) % blk, 0)
+    lane_slot = iota_L + np.cumsum(pad_delta)
+    NBL = -(-L // blk) + min(T + 2, 4096)
+    blocks_i = np.arange(NBL)
+    p0_b = np.searchsorted(lane_slot, blocks_i * blk, side="left")
+    p0c = np.clip(p0_b, 0, L - 1)
+    t_b = tidS[p0c]
+    tid_of_block = np.clip(t_b, 0, T - 1)
+    l0_b = lane_slot[p0c]
+    e_b = np.searchsorted(tidS, t_b, side="right")
+    start_un = p0_b - l0_b + blocks_i * blk
+    start_b = np.clip(start_un, 0, L)
+    erel_b = np.where(start_un == start_b, np.maximum(e_b - start_un, 0), 0)
+
+    pad = np.zeros((10, blk + 128), np.float32)
+    pad[8] = float(L)
+    dataS_full = np.concatenate([dataS_np, pad], axis=1)
+    dataS_full = np.concatenate(
+        [dataS_full, np.zeros((6, L + blk + 128), np.float32)], axis=0)
+
+    t0 = time.perf_counter()
+    fout = jax.jit(partial(wt._phase_b, block=blk, any_hit=False,
+                           robust=False, stack_depth=24,
+                           interpret=False))(
+        jnp.asarray(tid_of_block, i32), jnp.asarray(start_b, i32),
+        jnp.asarray(erel_b, i32), tl.table, jnp.asarray(dataS_full))
+    fout = np.asarray(fout)
+    print(f"kernel pass: {time.perf_counter()-t0:.1f} s", flush=True)
+
+    # per-pair steps via the pair-id echo
+    pid = fout[4].astype(np.int64)
+    steps_e = fout[7]
+    ok = pid < L
+    steps_of_pair = np.zeros(L, np.float64)
+    steps_of_pair[pid[ok]] = steps_e[ok]
+    # steps in SORTED pair order:
+    steps_sorted = steps_of_pair  # indexed by sorted position? pid is
+    # the pre-sort pair id: dataS row 8 carried iota over sorted order?
+    # No: rows10 row 8 = arange(L) in UNSORTED order, then permuted; so
+    # pid echoes the unsorted pair id. Map back to sorted positions:
+    steps_srt = steps_of_pair[dataS_np[8].astype(np.int64)]
+    validS = dataS_np[9] > 0
+
+    real_iters = fout[5].reshape(NBL, blk)[:, 0].sum()
+    print(f"measured block_iters={real_iters:.0f} "
+          f"lane_steps={steps_e[ok].sum():.0f}", flush=True)
+
+    per_iter_us = {256: None, 512: None, 1024: 14.0e3 / real_iters * 1.0}
+
+    def simulate(order_within_run, blk_s, label):
+        """order_within_run: None (current), 'steps' (oracle),
+        'entry' (sort by entry t)."""
+        tid_s = tidS
+        s = steps_srt.copy()
+        v = validS.copy()
+        # reorder within runs
+        idx = np.arange(L)
+        if order_within_run is not None:
+            # sort within each (tid) run by the requested key, valid
+            # pairs only (invalid have steps 0 anyway)
+            if order_within_run == "steps":
+                key2 = -s
+            elif order_within_run == "entry":
+                key2 = entL[srt_pairs]
+            idx = np.lexsort((key2, tid_s))
+            tid_s = tid_s[idx]
+            s = s[idx]
+            v = v[idx]
+        # run-padded placement at block size blk_s
+        prev = np.concatenate([[-1], tid_s[:-1]])
+        flag = tid_s != prev
+        rs = np.maximum.accumulate(np.where(flag, np.arange(L), 0))
+        ps = np.concatenate([[0], rs[:-1]])
+        pl_ = np.where(flag, np.arange(L) - ps, 0)
+        pd = np.where(flag, (-pl_) % blk_s, 0)
+        slot = np.arange(L) + np.cumsum(pd)
+        nb = int(slot[-1] // blk_s + 1)
+        bi = slot // blk_s
+        # block iters = max steps per block (only valid, real tids)
+        mask = v & (tid_s < T)
+        iters_b = np.zeros(nb)
+        np.maximum.at(iters_b, bi[mask], s[mask])
+        tot = iters_b.sum()
+        occ = s[mask].sum() / max(tot * blk_s, 1)
+        print(f"{label:40s} blocks={nb:5d} iters={tot:9.0f} "
+              f"occ={occ:.3f}", flush=True)
+        return tot
+
+    print("\n--- simulated round-1 block_iters ---", flush=True)
+    for blk_s in (1024, 512, 256, 128):
+        simulate(None, blk_s, f"current order, block={blk_s}")
+    for blk_s in (1024, 512, 256):
+        simulate("entry", blk_s, f"entry-t order, block={blk_s}")
+    for blk_s in (1024, 512, 256):
+        simulate("steps", blk_s, f"oracle steps order, block={blk_s}")
+
+    # step distribution
+    sv = steps_srt[validS & (tidS < T)]
+    print(f"\nsteps/pair: mean {sv.mean():.1f} p50 {np.median(sv):.0f} "
+          f"p90 {np.percentile(sv, 90):.0f} p99 "
+          f"{np.percentile(sv, 99):.0f} max {sv.max():.0f}", flush=True)
+    # run-length distribution
+    runs = np.unique(tidS[validS & (tidS < T)], return_counts=True)[1]
+    print(f"runs: n={len(runs)} mean {runs.mean():.0f} "
+          f"p50 {np.median(runs):.0f} p90 {np.percentile(runs, 90):.0f} "
+          f"max {runs.max()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

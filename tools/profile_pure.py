@@ -70,15 +70,14 @@ def main():
     @jax.jit
     def render4(top_node_t, table, packed):
         def body(i, c):
-            bt, bu, bv, pos, cnt0, k, it, ov, pv = inner(top_node_t, table, c)
+            bt = inner(top_node_t, table, c)[0]
             return c + bt[0] * 0
 
         return jax.lax.fori_loop(0, 4, body, packed)
 
     @jax.jit
     def render1(top_node_t, table, packed):
-        bt, bu, bv, pos, cnt0, k, it, ov, pv = inner(top_node_t, table, packed)
-        return bt
+        return inner(top_node_t, table, packed)[0]
 
     for name, fn in (("render x1", render1), ("render x4", render4)):
         sync(fn(tl.top_node_t, tl.table, packed))
