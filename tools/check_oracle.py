@@ -4,7 +4,7 @@ ray set through the SAME BVH with (a) the C++ reference library
 compare per-ray results. Prints `hits_match: true/false` per config.
 
 usage: python tools/check_oracle.py [--n 262144] [--rays 1024]
-       [--paths wide_treelet treelet]
+       [--paths wide_treelet]
 
 Build the oracle first:
   g++ -std=c++20 -O2 -march=native -I/root/reference/src \
@@ -31,7 +31,7 @@ BOUNDARY_PPM = 4  # allowed boundary-epsilon disagreements per million
 # by f64 brute force on the mismatching rays; see PERFORMANCE.md).
 
 
-def compare(name, our_pos, our_t, ref_pos, ref_t, rtol=1e-4):
+def compare(name, our_pos, our_t, ref_pos, ref_t, rtol=1e-4, strict=False):
     our_pos = np.asarray(our_pos).astype(np.int64)
     ref_pos = ref_pos.astype(np.int64)
     ref_pos = np.where(ref_pos == 0xFFFFFFFF, -1, ref_pos)
@@ -52,10 +52,13 @@ def compare(name, our_pos, our_t, ref_pos, ref_t, rtol=1e-4):
     # holding the true closest hit; f64 brute force confirmed ours on
     # every sampled case) — report them but do not count them against
     # us. Mismatches where the oracle is closer are OUR misses.
+    # Under `strict` (the robust variant, whose slab test is watertight
+    # by construction on BOTH sides) no such exception applies: every
+    # real mismatch counts against the budget, either direction.
     ours_closer = real_mismatch & our_hit & (
         ~ref_hit | (our_t < ref_t - 1e-6 * np.maximum(1.0, np.abs(ref_t)))
     )
-    ours_worse = real_mismatch & ~ours_closer
+    ours_worse = real_mismatch if strict else (real_mismatch & ~ours_closer)
     n_worse = int(ours_worse.sum())
     ok = n_worse <= max(1, (BOUNDARY_PPM * len(our_pos)) // 1_000_000)
     print(f"{name}: hits {nh_our} vs oracle {nh_ref}; "
@@ -144,18 +147,8 @@ def main():
                 pos = np.where(np.asarray(hit.t) < np.inf,
                                np.asarray(hit.prim_pos).astype(np.int64), -1)
                 all_ok &= compare(f"wide_treelet/{vname}", pos,
-                                  np.asarray(hit.t), *oracle[vname])
-        elif path == "treelet":
-            from bvh_tpu.traverse.treelet import (
-                build_treelets, treelet_intersect_tris)
-            tl2 = build_treelets(bvh, flat, permuted=False, max_nodes=1024)
-            for vname, rob in variants:
-                hit = treelet_intersect_tris(
-                    tl2, rays, robust=rob, prim_ids=np.asarray(bvh.prim_ids))
-                pos = np.where(np.asarray(hit.hit),
-                               np.asarray(hit.prim_pos).astype(np.int64), -1)
-                all_ok &= compare(f"treelet/{vname}", pos,
-                                  np.asarray(hit.t), *oracle[vname])
+                                  np.asarray(hit.t), *oracle[vname],
+                                  strict=rob)
         else:
             print(f"unknown path {path}", flush=True)
             all_ok = False

@@ -53,7 +53,7 @@ def main():
     packed = jnp.asarray(packed)
 
     # ---- phase A + compact + round-1 window (mirrors _render_jit) ----
-    from bvh_tpu.traverse.treelet import _collect_kernel
+    from bvh_tpu.traverse.collect import _collect_kernel
     from jax.experimental import pallas as pl
 
     @jax.jit

@@ -52,7 +52,7 @@ def main():
     from bvh_tpu.io.scenes import scene_camera, sponza_class
     from bvh_tpu.io.serialize import load_bvh
     from bvh_tpu.traverse import wide_treelet as wt
-    from bvh_tpu.traverse.treelet import _collect_kernel
+    from bvh_tpu.traverse.collect import _collect_kernel
 
     tris = sponza_class(n, seed=0)
     bvh = load_bvh(f"/tmp/bench_sponza_{n}.bvh")
