@@ -1108,24 +1108,30 @@ def _lcm(a, b):
 
 
 def phase_a_plan(cols, top_block, *, top_stack=48, max_portals=32,
-                 budget_bytes=96 * 1024 * 1024):
-    """Pre-compile VMEM estimate for the phase-A collect kernel; picks
-    (top_block, fetch_chunk) that fit the budget instead of dying in
-    the remote Mosaic compile (the round-2 San-Miguel failure mode).
+                 budget_bytes=15 * 1024 * 1024):
+    """Pre-compile *scoped-VMEM* estimate for the phase-A collect
+    kernel; picks (top_block, fetch_chunk) that fit the budget instead
+    of dying in the remote Mosaic compile (the round-2 San-Miguel
+    failure mode).
 
-    Per-block VMEM words: the node table (8 x cols), the ray block
-    (8 x B), the portal outputs ((2*MP+8) x B), the traversal stack
-    (top_stack x B), and the one-hot fetch intermediate (chunk x B,
-    the dominant term at scale)."""
-    while True:
-        fixed = 8 * cols + (16 + 2 * max_portals + top_stack) * top_block
-        room = budget_bytes // 4 - fixed
-        chunk = min(cols, max(512, room // max(top_block, 1) // 128 * 128))
-        est = (fixed + chunk * top_block) * 4
-        if est <= budget_bytes or top_block <= 1024:
-            break
+    Mosaic gives a kernel 16 MB of scoped VMEM. The per-ray-lane word
+    model is calibrated against hardware: the double-buffered portal
+    outputs 2*(2*MP+8), the while-carry portal lists + scalars
+    (2*MP+4), the record-row iota (MP), the stack and its lane iota
+    (2*top_stack), and the double-buffered ray block + fetched node
+    row (32). It predicts a measured OOM exactly (B=8192, MP=64,
+    top_stack=48 -> 19.5 MB predicted, 19.45 MB reported) and the
+    proven sponza config inside budget (B=8192, MP=32 -> 12.2 MB,
+    compiles and runs). The one-hot fetch intermediate does NOT
+    materialize at cols x B (Mosaic tiles the dot): cols only enter
+    via the resident table. fetch_chunk bounds the one-hot streaming
+    at very large tables (the round-2 San-Miguel failure mode) and is
+    bit-identical by construction."""
+    budget_w = budget_bytes // 4
+    per_ray = 7 * max_portals + 2 * top_stack + 52
+    while top_block > 1024 and per_ray * top_block + 16 * cols > budget_w:
         top_block //= 2
-    fetch_chunk = None if chunk >= cols else chunk
+    fetch_chunk = 1024 if cols > 2048 else None
     return top_block, fetch_chunk
 
 
@@ -1171,7 +1177,7 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
     tmax (no intra-round pruning); results merge by first-j
     strict-min, matching the reference's near-to-far traversal order
     (bvh.h:124-182)."""
-    from bvh_tpu.traverse.treelet import _collect_kernel
+    from bvh_tpu.traverse.collect import collect_kernel as _collect_kernel
 
     f32, i32 = jnp.float32, jnp.int32
     Rp = packed.shape[1]

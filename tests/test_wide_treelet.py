@@ -220,9 +220,12 @@ def test_phase_a_plan_budget():
     Mosaic compile fail (round-2 failure mode)."""
     from bvh_tpu.traverse.wide_treelet import phase_a_plan
 
-    tb, chunk = phase_a_plan(376, 8192)
-    assert (tb, chunk) == (8192, None), "small tables untouched"
+    tb, chunk = phase_a_plan(384, 8192)
+    assert (tb, chunk) == (8192, None), "sponza config untouched"
+    # the measured-OOM config (MP=64) must re-tier below 8192
+    tb, chunk = phase_a_plan(128, 8192, max_portals=64)
+    assert tb < 8192
+    assert (7 * 64 + 2 * 48 + 52) * tb + 16 * 128 <= 15 * 1024 * 1024 // 4
+    # very large top tables stream the one-hot fetch
     tb, chunk = phase_a_plan(16384, 8192)
     assert chunk is not None and chunk % 128 == 0
-    est = (8 * 16384 + (16 + 64 + 48) * tb + chunk * tb) * 4
-    assert est <= 96 * 1024 * 1024
