@@ -60,19 +60,34 @@ class MiniTreeConfig(TopDownConfig):
     log2_grid_dim: int = 4
 
 
-def _grid_groups(centers, config: MiniTreeConfig):
+def _grid_groups(centers, config: MiniTreeConfig, executor=None):
     """Steps 2-3: morton bin per prim, then greedy adjacent-bin groups.
 
     Returns (group_of_prim [n], num_groups_cap) with group ids dense in
     morton order.
+
+    The scene-centers bbox reduction routes through an executor, just
+    as the reference's does (mini_tree_builder.h:161-167 calls
+    `executor_.reduce` with a bbox-extend join); min/max joins are
+    associative + commutative, so SequentialExecutor (serial left
+    fold) and ParallelExecutor (tree reduction) produce bit-identical
+    bounds.
     """
     n, dim = centers.shape
     dtype = centers.dtype
     grid_dim = 1 << config.log2_grid_dim
     bin_count = 1 << (config.log2_grid_dim * dim)
 
-    cmin = jnp.min(centers, axis=0)
-    cmax = jnp.max(centers, axis=0)
+    if executor is None:
+        from bvh_tpu.par.executor import ParallelExecutor
+
+        executor = ParallelExecutor()
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    cmin, cmax = executor.reduce(
+        (centers, centers),
+        lambda a, b: (jnp.minimum(a[0], b[0]), jnp.maximum(a[1], b[1])),
+        (jnp.full((dim,), big, dtype), jnp.full((dim,), -big, dtype)),
+    )
     # reference: grid_scale = grid_dim * safe_inverse(diagonal) (172).
     scale = jnp.asarray(grid_dim, dtype) * safe_inverse(cmax - cmin)
     offset = -cmin * scale
@@ -104,8 +119,14 @@ def _grid_groups(centers, config: MiniTreeConfig):
     return group_of_bin[bins], bin_count
 
 
-def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None) -> Bvh:
-    """Build a BVH with the mini-tree pipeline. Fully jittable."""
+def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None,
+                   executor=None) -> Bvh:
+    """Build a BVH with the mini-tree pipeline. Fully jittable.
+
+    `executor` (reference parity: MiniTreeBuilder::build takes the
+    thread pool, mini_tree_builder.h:47-58): the iteration/reduction
+    strategy for the scene-bounds reduce; default ParallelExecutor.
+    """
     if config is None:
         config = MiniTreeConfig()
     n, dim = centers.shape
@@ -113,7 +134,7 @@ def build_minitree(bb_min, bb_max, centers, config: MiniTreeConfig | None = None
     idx_dtype = index_dtype_for(dtype)
     g_cap = min(1 << (config.log2_grid_dim * dim), n)
 
-    group, _ = _grid_groups(centers, config)
+    group, _ = _grid_groups(centers, config, executor)
     group = jnp.minimum(group, g_cap - 1)
 
     # Deterministic forest order: sort by (group, prim id)

@@ -6,10 +6,13 @@ executors chunk index ranges over a thread pool; here "parallel" means
 vectorized on one device (XLA parallelizes internally) or sharded over
 a device mesh, and "sequential" means a `lax.scan` ordering guarantee.
 
-These exist for API parity and for writing device-count-agnostic code:
-algorithms in this package take an executor only where the reference's
-took one (the builders themselves are already data-parallel by
-construction).
+Consumers: `build_minitree` routes its scene-centers bbox reduction
+through an executor exactly where the reference's build does
+(mini_tree_builder.h:161-167 calls `executor_.reduce`); passing
+`SequentialExecutor()` gives the reference's serial left-fold ordering,
+`ParallelExecutor()` a tree reduction (the analogue of per-thread
+partials + join). min/max joins are associative and commutative, so
+both orderings produce bit-identical bboxes.
 """
 
 from __future__ import annotations
@@ -60,10 +63,28 @@ class ParallelExecutor:
         return jax.vmap(fn)(idx)
 
     def reduce(self, values, reduce_fn, init):
-        """Associative tree reduction over the leading axis."""
+        """Tree reduction over the leading axis (the analogue of
+        per-thread partials + serial join, reference: executor.h:63-84).
+        `values` may be a pytree of arrays sharing a leading axis;
+        `reduce_fn(a, b)` joins two pytrees. O(n) work, log2(n) steps —
+        the same schedule XLA lowers a monoid reduce to."""
         if self.mesh is not None:
-            values = jax.device_put(
-                values, NamedSharding(self.mesh, P(self.axis))
+            values = jax.tree.map(
+                lambda v: jax.device_put(
+                    v, NamedSharding(self.mesh, P(self.axis))
+                ),
+                values,
             )
-        out = jax.lax.associative_scan(reduce_fn, values)[-1]
-        return reduce_fn(init, out)
+        n = jax.tree.leaves(values)[0].shape[0]
+        acc = init  # odd leftovers fold into the accumulator
+        while n > 1:
+            if n % 2:
+                acc = reduce_fn(
+                    acc, jax.tree.map(lambda v: v[n - 1], values)
+                )
+            half = n // 2
+            lo = jax.tree.map(lambda v: v[:half], values)
+            hi = jax.tree.map(lambda v: v[half : 2 * half], values)
+            values = reduce_fn(lo, hi)
+            n = half
+        return reduce_fn(acc, jax.tree.map(lambda v: v[0], values))
