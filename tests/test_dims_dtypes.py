@@ -99,6 +99,80 @@ def test_sphere_traversal():
     np.testing.assert_allclose(np.asarray(hit.t), want, rtol=1e-4)
 
 
+def random_spheres(m, dim, seed):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-1, 1, (m, dim)).astype(np.float32)
+    radii = rng.uniform(0.02, 0.12, m).astype(np.float32)
+    return jnp.asarray(centers), jnp.asarray(radii)
+
+
+@pytest.mark.parametrize("dim", [2, 3, 4])
+@pytest.mark.parametrize("any_hit", [False, True])
+def test_pallas_sphere_kernel_matches_wavefront(dim, any_hit):
+    """The dim-generic mega-kernel (traverse/pallas_sphere.py) is the
+    fast path for 2D/4D configurations (reference: node.h:18-22 is
+    dimension-parametric; sphere.h is the dimension-generic
+    primitive). Hit-for-hit parity with the XLA wavefront."""
+    from bvh_tpu.traverse.pallas_sphere import (
+        pallas_fits_spheres, pallas_intersect_spheres)
+
+    m = 96
+    centers, radii = random_spheres(m, dim, seed=10 + dim)
+    mn = centers - radii[:, None]
+    mx = centers + radii[:, None]
+    bvh = build_binned(mn, mx, centers)
+    assert pallas_fits_spheres(bvh, centers)
+
+    rng = np.random.default_rng(1)
+    R = 256
+    org = rng.uniform(-3, 3, (R, dim)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (R, dim)).astype(np.float32)
+    rays = Ray.make(jnp.asarray(org), jnp.asarray(tgt - org))
+
+    leaf_fn = make_sphere_leaf_fn(bvh, centers, radii)
+    want = traverse(bvh, rays, leaf_fn, any_hit=any_hit)
+    got = pallas_intersect_spheres(
+        bvh, centers, radii, rays, any_hit=any_hit,
+        block=256, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    if any_hit:
+        return  # any-hit may stop at a different (valid) first prim
+    np.testing.assert_array_equal(np.asarray(got.prim_id),
+                                  np.asarray(want.prim_id))
+    # t: the two programs may contract b*b - 4ac differently (FMA), and
+    # the cancellation amplifies that to ~1e-5 relative — same class of
+    # difference as the documented minitree_fast Mosaic caveat. The
+    # discrete oracle (which prim) is exact above.
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.v)[h], np.asarray(want.v)[h],
+                               rtol=2e-5)
+
+
+def test_pallas_sphere_kernel_robust_variant():
+    from bvh_tpu.traverse.pallas_sphere import pallas_intersect_spheres
+
+    centers, radii = random_spheres(80, 3, seed=21)
+    mn = centers - radii[:, None]
+    mx = centers + radii[:, None]
+    bvh = build_binned(mn, mx, centers)
+    rng = np.random.default_rng(2)
+    org = rng.uniform(-3, 3, (128, 3)).astype(np.float32)
+    tgt = rng.uniform(-1, 1, (128, 3)).astype(np.float32)
+    rays = Ray.make(jnp.asarray(org), jnp.asarray(tgt - org))
+    leaf_fn = make_sphere_leaf_fn(bvh, centers, radii)
+    want = traverse(bvh, rays, leaf_fn, robust=True)
+    got = pallas_intersect_spheres(bvh, centers, radii, rays, robust=True,
+                                   block=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.prim_id),
+                                  np.asarray(want.prim_id))
+    h = np.asarray(want.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[h], np.asarray(want.t)[h],
+                               rtol=2e-5)
+
+
 def test_2d_traversal():
     """2D BVH with point-prim leaves: slab tests work in 2D."""
     rng = np.random.default_rng(4)
