@@ -44,6 +44,10 @@ def assert_bvh_equal(a, b):
 
 
 @pytest.mark.parametrize("n,seed,clustered", [
+    # One mid-size case stays in the default tier so local runs keep a
+    # multi-block/pruning parity signal (advisor r2); the larger sizes
+    # are slow-tier.
+    (200, 0, True),
     pytest.param(500, 0, False, marks=pytest.mark.slow),
     pytest.param(3000, 1, False, marks=pytest.mark.slow),
     pytest.param(3000, 2, True, marks=pytest.mark.slow),

@@ -19,6 +19,11 @@ def main():
     ap.add_argument("--n", type=int, nargs="*", default=[262_144])
     ap.add_argument("--minitree", action="store_true")
     ap.add_argument("--binned", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="mini-tree via the per-group Pallas kernel")
+    ap.add_argument("--high", action="store_true",
+                    help="device quality=high: mini-tree fast + reinsertion")
+    ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -48,6 +53,20 @@ def main():
         if args.binned:
             from bvh_tpu.build.binned import build_binned
             fns.append(("binned", jax.jit(build_binned)))
+        if args.fast:
+            from bvh_tpu.build.minitree_fast import build_minitree_fast
+            # host-staged sizing inside; jitted per-shape internally
+            fns.append(("mtf", build_minitree_fast))
+        if args.high:
+            from bvh_tpu.build.minitree_fast import build_minitree_fast
+            from bvh_tpu.build.reinsertion import (
+                ReinsertionConfig, optimize_reinsertion)
+
+            def high(a, b, c):
+                bvh = build_minitree_fast(a, b, c)
+                return optimize_reinsertion(bvh, ReinsertionConfig())
+
+            fns.append(("high", high))
 
         for name, fn in fns:
             try:
@@ -55,7 +74,7 @@ def main():
                 bvh = sync(fn(bb_min, bb_max, centers))
                 t_compile = time.perf_counter() - t0
                 ts = []
-                for _ in range(5):
+                for _ in range(args.reps):
                     t0 = time.perf_counter()
                     bvh = sync(fn(bb_min, bb_max, centers))
                     ts.append(time.perf_counter() - t0)
