@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--rc-div", type=int, default=8)
     ap.add_argument("--max-runs", type=int, default=2048)
+    ap.add_argument("--max-rounds", type=int, default=64)
     ap.add_argument("--tail-cap", type=int, default=0)
     ap.add_argument("--chain", type=int, default=4)
     args = ap.parse_args()
@@ -107,7 +108,7 @@ def main():
 
     Rp = _round_up(R, _lcm(args.block, args.top_block))
     kw = dict(block=args.block, tail_block=256, top_block=args.top_block,
-              max_portals=args.max_portals, max_rounds=64,
+              max_portals=args.max_portals, max_rounds=args.max_rounds,
               portals_per_round=args.k, sel_cap=Rp // args.rc_div,
               mps=args.mps, max_new=args.max_new, k2=2,
               max_runs=args.max_runs,
