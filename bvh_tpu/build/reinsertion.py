@@ -9,18 +9,33 @@ TPU-native counterpart of `ReinsertionOptimizer`
 2. for every candidate in parallel, search the best reinsertion target
    with a branch-and-bound walk up from the node and down into the
    siblings' subtrees (reference: find_reinsertion, 107-188) — here a
-   batched `while_loop` with fixed-size per-candidate stacks;
+   batched `while_loop` with fixed-size per-candidate stacks laid out
+   [depth, batch] and driven by lane masks (dense VPU selects; the
+   [batch, depth] scatter layout cost ~2x more per step on this
+   backend);
 3. sort by area gain descending and apply greedily, skipping any
    reinsertion whose 5-node conflict set {to, from, sibling(from),
    parent(to), parent(from)} touches an already-applied one
    (reference: get_conflicts + the serial loop, 227-234, 254-265).
 
-Step 3's greedy pass is inherently sequential in the reference; here it
-is realized as a `lax.scan` over the gain-sorted batch carrying the
-`touched` bitmap, preserving the reference's exact accept/skip
-semantics (deterministic), followed by a vectorized application of all
-accepted, conflict-free moves (their node edits are disjoint by
-construction) and a masked path-refit to the root.
+Step 3's greedy pass is sequential in the reference; a literal
+`lax.scan` translation costs ~8 us/step x batch (~200 ms at 262K
+prims). Here it is computed as the *lexicographically-first greedy
+set* via an iterative fixpoint (`_greedy_accept`) that decides, each
+round, every candidate whose conflict nodes carry no lower-priority
+live claimant — the fixpoint's unique solution IS the serial greedy's
+accepted set (tests/test_reinsertion.py asserts equality against a
+literal serial replay), and it converges in conflict-chain-depth
+rounds (typically < 10) instead of batch-size steps.
+
+The post-apply refit walks only the dirty paths: every conflict node
+climbs to the root recomputing inner bounds from children
+(reference: refit_from, 215-225), synchronized level-by-level. A node
+visited by several climbs is recomputed several times; the deepest
+climb through it arrives last, after both children are final, so the
+last write is exact (same induction as the reference's serial climbs).
+This costs (max dirty depth) rounds over [5*batch] rows instead of
+(tree height) rounds over the full node array.
 """
 
 from __future__ import annotations
@@ -69,11 +84,16 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
     For each candidate `from`-node, walks pivots up to the root; at each
     pivot explores the sibling subtree with a bounded stack, tracking
     the best area decrease. Returns (to, area_diff) per candidate.
+
+    The per-candidate stacks live as [stack_depth, B] carries written
+    through lane-iota masks (dense selects) rather than scatters: the
+    branch-and-bound loop runs hundreds of lockstep steps, and a
+    [B, depth] scatter per push/pop measured ~2x the per-step cost of
+    the mask form on this backend (tools/profile_reinsertion.py).
     """
     cap = index.shape[0]
     B = node_ids.shape[0]
     dtype = bounds.dtype
-    rows = jnp.arange(B, dtype=jnp.int32)
 
     node_area = _half_area_rows(bounds[node_ids])
     node_mn = bounds[node_ids][:, 0::2]
@@ -82,6 +102,8 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
     parent0 = parents[node_ids]
     parent_area = _half_area_rows(bounds[parent0])
     sib0 = Bvh.get_sibling_id(node_ids)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (stack_depth, B), 0)
 
     # Per-candidate state of the two nested loops flattened into one
     # while_loop: (pivot walk) x (subtree stack).
@@ -93,8 +115,8 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
         sibling=sib0,
         pivot_mn=bounds[sib0][:, 0::2],
         pivot_mx=bounds[sib0][:, 1::2],
-        stack_val=jnp.zeros((B, stack_depth), dtype),
-        stack_id=jnp.zeros((B, stack_depth), jnp.int32),
+        stack_val=jnp.zeros((stack_depth, B), dtype),
+        stack_id=jnp.zeros((stack_depth, B), jnp.int32),
         sp=jnp.zeros((B,), jnp.int32),
         seeded=jnp.zeros((B,), bool),  # sibling pushed for this pivot?
         alive=valid & (node_ids != 0),
@@ -102,20 +124,24 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
 
     def step(s):
         alive = s["alive"]
+        sp = s["sp"]
         # Seed the stack with (area_diff, sibling) when starting a pivot
         # level (reference: 151).
         need_seed = alive & ~s["seeded"]
-        col = jnp.where(need_seed, s["sp"], stack_depth)
-        stack_val = s["stack_val"].at[rows, col].set(s["area_diff"], mode="drop")
-        stack_id = s["stack_id"].at[rows, col].set(s["sibling"], mode="drop")
-        sp = jnp.where(need_seed, s["sp"] + 1, s["sp"])
+        m = (lanes == sp[None, :]) & need_seed[None, :]
+        stack_val = jnp.where(m, s["area_diff"][None, :], s["stack_val"])
+        stack_id = jnp.where(m, s["sibling"][None, :], s["stack_id"])
+        sp = jnp.where(need_seed, sp + 1, sp)
         seeded = s["seeded"] | need_seed
 
         # Pop one entry and evaluate (reference: 152-170).
         has_work = alive & (sp > 0)
         spm1 = jnp.clip(sp - 1, 0, stack_depth - 1)
-        top_val = stack_val[rows, spm1]
-        top_id = stack_id[rows, spm1]
+        mpop = lanes == spm1[None, :]
+        top_val = jnp.sum(jnp.where(mpop, stack_val, 0), axis=0,
+                          dtype=stack_val.dtype)
+        top_id = jnp.sum(jnp.where(mpop, stack_id, 0), axis=0,
+                         dtype=jnp.int32)
         sp = jnp.where(has_work, sp - 1, sp)
 
         prune = top_val - node_area <= s["best_diff"]  # bound (155)
@@ -136,14 +162,12 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
         child_area = reinsert_area + _half_area_rows(dst_row)
         push = eval_ & dst_inner
         first = Index.first_id(dst_idx).astype(jnp.int32)
-        col0 = jnp.where(push, sp, stack_depth)
-        stack_val = stack_val.at[rows, col0].set(child_area, mode="drop")
-        stack_id = stack_id.at[rows, col0].set(first, mode="drop")
-        sp = jnp.where(push, sp + 1, sp)
-        col1 = jnp.where(push, sp, stack_depth)
-        stack_val = stack_val.at[rows, col1].set(child_area, mode="drop")
-        stack_id = stack_id.at[rows, col1].set(first + 1, mode="drop")
-        sp = jnp.where(push, sp + 1, sp)
+        m0 = (lanes == sp[None, :]) & push[None, :]
+        m1 = (lanes == (sp + 1)[None, :]) & push[None, :]
+        stack_val = jnp.where(m0 | m1, child_area[None, :], stack_val)
+        stack_id = jnp.where(m0, first[None, :], stack_id)
+        stack_id = jnp.where(m1, (first + 1)[None, :], stack_id)
+        sp = jnp.where(push, sp + 2, sp)
 
         # When this pivot's subtree is exhausted, climb one level; stop
         # when the climb would reach the root (reference: 173-182, the
@@ -158,7 +182,6 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
         # first (reference: 175-178): after moving to the new pivot, if
         # new pivot != original parent.
         new_sibling = Bvh.get_sibling_id(s["pivot"])
-        new_pivot = parents[jnp.clip(s["pivot"], 0, cap - 1)]
         sib_row = bounds[jnp.clip(s["sibling"], 0, cap - 1)]
         ext_mn = jnp.minimum(s["pivot_mn"], sib_row[:, 0::2])
         ext_mx = jnp.maximum(s["pivot_mx"], sib_row[:, 1::2])
@@ -181,7 +204,7 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
             best_to=best_to,
             best_diff=best_diff,
             area_diff=area_diff,
-            pivot=jnp.where(climb, new_pivot, s["pivot"]),
+            pivot=jnp.where(climb, next_pivot, s["pivot"]),
             sibling=jnp.where(climb, new_sibling, s["sibling"]),
             pivot_mn=pivot_mn,
             pivot_mx=pivot_mx,
@@ -202,15 +225,100 @@ def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth
     return jnp.where(ok, best_to, 0), jnp.where(ok, best_diff, 0)
 
 
+def _greedy_accept(conflicts, ok, cap):
+    """Exact parallel form of the reference's serial conflict loop
+    (reinsertion_optimizer.h:254-265): candidates arrive gain-sorted
+    (row position = priority, 0 first); candidate i is accepted iff no
+    accepted j < i shares a conflict node with it.
+
+    The serial loop's accepted set equals the lexicographically-first
+    greedy set, computed here by fixpoint: each round, scatter-min the
+    priorities of live (accepted|undecided) and of accepted candidates
+    onto their conflict nodes, then
+      accept  i  iff  undecided and no live claimant beats it anywhere,
+      reject  i  iff  undecided and an ACCEPTED claimant beats it.
+    Every round decides at least the minimum undecided priority (its
+    earlier claimants are all decided), so the loop terminates; in
+    practice it runs conflict-chain-depth rounds (<10).
+
+    conflicts: [5, B] int32 node ids (the 5-node conflict sets).
+    ok:        [B] bool — candidates with positive gain.
+    Returns accepted [B] bool.
+    """
+    B = ok.shape[0]
+    i32 = jnp.int32
+    pri = jnp.arange(B, dtype=i32)
+    confc = jnp.clip(conflicts, 0, cap - 1)
+    sentinel = jnp.asarray(B, i32)
+
+    def cond(s):
+        und, acc, it = s
+        return jnp.any(und) & (it < B)
+
+    def body(s):
+        und, acc, it = s
+        live_pri = jnp.where(und | acc, pri, sentinel)
+        acc_pri = jnp.where(acc, pri, sentinel)
+        m_live = jnp.full((cap,), B, i32).at[confc].min(
+            jnp.broadcast_to(live_pri[None, :], (5, B)), mode="drop")
+        m_acc = jnp.full((cap,), B, i32).at[confc].min(
+            jnp.broadcast_to(acc_pri[None, :], (5, B)), mode="drop")
+        g_live = jnp.min(m_live[confc], axis=0)
+        g_acc = jnp.min(m_acc[confc], axis=0)
+        newly_acc = und & (g_live >= pri)
+        newly_rej = und & (g_acc < pri)
+        return (und & ~newly_acc & ~newly_rej, acc | newly_acc, it + 1)
+
+    _, accepted, _ = jax.lax.while_loop(
+        cond, body, (ok, jnp.zeros((B,), bool), jnp.zeros((), i32)))
+    return accepted
+
+
+def _refit_dirty(bounds, index, parents, seeds, stack_depth_unused=None):
+    """Climb every dirty path to the root, recomputing inner bounds
+    from children level-by-level (reference: refit_from, 215-225).
+
+    seeds: [S] node ids (-1 = inactive; duplicates fine). Each round
+    recomputes the frontier nodes (leaves skip — their bounds come from
+    primitives) and steps to the parent; entries stop after the root.
+    A node crossed by several climbs is recomputed once per crossing;
+    the deepest climb arrives last, when both children are final, so
+    the last write is exact.
+    """
+    cap = index.shape[0]
+    inner = Index.is_inner(index)
+    first = Index.first_id(index).astype(jnp.int32)
+
+    def cond(s):
+        _, cur = s
+        return jnp.any(cur >= 0)
+
+    def body(s):
+        b, cur = s
+        c = jnp.clip(cur, 0, cap - 1)
+        do = (cur >= 0) & inner[c]
+        l = jnp.clip(jnp.where(do, first[c], 0), 0, cap - 1)
+        lrow = b[l]
+        rrow = b[jnp.clip(l + 1, 0, cap - 1)]
+        mn = jnp.minimum(lrow[:, 0::2], rrow[:, 0::2])
+        mx = jnp.maximum(lrow[:, 1::2], rrow[:, 1::2])
+        merged = make_node_bounds_row(mn, mx)
+        b = b.at[jnp.where(do, c, cap)].set(merged, mode="drop")
+        nxt = jnp.where(cur > 0, parents[c], -1)
+        return b, nxt
+
+    bounds, _ = jax.lax.while_loop(cond, body, (bounds, seeds))
+    return bounds
+
+
 def optimize_reinsertion(bvh: Bvh, config: ReinsertionConfig | None = None) -> Bvh:
     """Optimize `bvh` in place (functionally) by parallel reinsertion
     (reference: optimize, 236-267)."""
     if config is None:
         config = ReinsertionConfig()
     cap = bvh.index.shape[0]
-    dtype = bvh.bounds.dtype
     batch_cap = config.max_batch or max(1, int(cap * config.batch_size_ratio) + 1)
-    batch_cap = min(batch_cap, cap)
+    batch_cap = min(-(-batch_cap // 128) * 128, cap)
 
     bounds, index = bvh.bounds, bvh.index
     node_count = bvh.node_count
@@ -251,7 +359,7 @@ def _one_iteration(
     to, diff = _find_reinsertion_batch(bounds, index, parents, cand, valid, stack_depth)
 
     # --- sort by decreasing gain (reference: 256) and greedily accept
-    # conflict-free moves via a scan over the touched bitmap (258-265).
+    # conflict-free moves (258-265) via the exact parallel fixpoint.
     order = jnp.argsort(-diff)
     to_s = to[order]
     from_s = cand[order]
@@ -260,26 +368,13 @@ def _one_iteration(
     pto_s = parents[jnp.clip(to_s, 0, cap - 1)]
     pfrom_s = parents[jnp.clip(from_s, 0, cap - 1)]
 
-    def accept_step(touched, args):
-        to_i, from_i, sib_i, pto_i, pfrom_i, ok_i = args
-        conflicts = jnp.stack([to_i, from_i, sib_i, pto_i, pfrom_i])
-        clash = jnp.any(touched[conflicts])
-        take = ok_i & ~clash
-        touched = touched.at[conflicts].set(touched[conflicts] | take)
-        return touched, take
-
-    touched0 = jnp.zeros((cap,), bool)
-    _, accepted = jax.lax.scan(
-        accept_step,
-        touched0,
-        (to_s, from_s, sib_s, pto_s, pfrom_s, diff_s > 0),
-    )
+    conflicts = jnp.stack([to_s, from_s, sib_s, pto_s, pfrom_s])
+    accepted = _greedy_accept(conflicts, diff_s > 0, cap)
 
     # --- apply all accepted moves at once (reference: reinsert_node,
     # 190-213). Their conflict sets are disjoint, so the scatters below
     # touch disjoint node slots.
     t_ = jnp.where(accepted, to_s, cap)
-    f_ = jnp.where(accepted, from_s, cap)
     s_ = jnp.where(accepted, sib_s, cap)
     p_ = jnp.where(accepted, pfrom_s, cap)
     sib_rows = bounds[jnp.clip(sib_s, 0, cap - 1)]
@@ -297,30 +392,11 @@ def _one_iteration(
     bounds = bounds.at[p_].set(sib_rows, mode="drop")
     index = index.at[p_].set(sib_idx, mode="drop")
 
-    # --- refit every ancestor path bottom-up (reference: refit_from,
-    # 215-225): recompute parents, then run ready-propagation passes
-    # only along dirty paths; simpler and equivalent: full inner refit.
+    # --- refit the dirty ancestor paths (reference: refit_from,
+    # 215-225): every conflict node of an accepted move climbs to the
+    # root recomputing inner bounds from children. Non-accepted rows
+    # are inert (-1).
     parents = compute_parents(index, node_count, cap)
-    inner = Index.is_inner(index) & (ids < node_count)
-    first = Index.first_id(index).astype(jnp.int32)
-    is_leaf = ~inner & (ids < node_count)
-
-    def cond(st):
-        _, done = st
-        return jnp.any((ids < node_count) & ~done)
-
-    def body(st):
-        b, done = st
-        l = jnp.clip(first, 0, cap - 1)
-        r = jnp.clip(first + 1, 0, cap - 1)
-        can = inner & ~done & done[l] & done[r]
-        lrow, rrow = b[l], b[r]
-        mn = jnp.minimum(lrow[:, 0::2], rrow[:, 0::2])
-        mx = jnp.maximum(lrow[:, 1::2], rrow[:, 1::2])
-        merged = make_node_bounds_row(mn, mx)
-        return jnp.where(can[:, None], merged, b), done | can
-
-    bounds, _ = jax.lax.while_loop(
-        cond, body, (bounds, is_leaf | (ids >= node_count))
-    )
+    seeds = jnp.where(accepted[None, :], conflicts, -1).reshape(-1)
+    bounds = _refit_dirty(bounds, index, parents, seeds)
     return bounds, index

@@ -56,6 +56,53 @@ def test_reinsertion_random_scene():
     check_leaf_set_unchanged(bvh, opt, 400)
 
 
+def test_greedy_accept_matches_serial_replay():
+    """The fixpoint conflict resolution must equal the reference's
+    serial greedy loop (reinsertion_optimizer.h:254-265) exactly."""
+    from bvh_tpu.build.reinsertion import _greedy_accept
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        B = int(rng.integers(5, 400))
+        cap = int(rng.integers(8, 64))  # small pool -> dense conflicts
+        conflicts = rng.integers(0, cap, (5, B)).astype(np.int32)
+        ok = rng.random(B) > 0.2
+
+        got = np.asarray(_greedy_accept(
+            jnp.asarray(conflicts), jnp.asarray(ok), cap))
+
+        touched = np.zeros(cap, bool)
+        want = np.zeros(B, bool)
+        for i in range(B):  # rows arrive priority-sorted
+            if not ok[i]:
+                continue
+            if not touched[conflicts[:, i]].any():
+                want[i] = True
+                touched[conflicts[:, i]] = True
+        assert np.array_equal(got, want), (trial, B, cap)
+
+
+def test_refit_exact_after_optimize():
+    """After optimize, every inner node's bounds must equal the exact
+    merge of its children (the dirty-path climb refit leaves no stale
+    ancestor behind)."""
+    mn, mx, c = random_scene(700, seed=5)
+    bvh = build_binned(mn, mx, c)
+    opt = optimize_reinsertion(bvh, ReinsertionConfig())
+    nc = int(opt.node_count)
+    index = np.asarray(opt.index[:nc])
+    bounds = np.asarray(opt.bounds[:nc])
+    first = (index >> 4).astype(np.int64)
+    inner = (index & 15) == 0
+    ii = np.nonzero(inner)[0]
+    l, r = first[ii], first[ii] + 1
+    merged = np.empty((len(ii), bounds.shape[1]), bounds.dtype)
+    merged[:, 0::2] = np.minimum(bounds[l][:, 0::2], bounds[r][:, 0::2])
+    merged[:, 1::2] = np.maximum(bounds[l][:, 1::2], bounds[r][:, 1::2])
+    assert np.array_equal(bounds[ii], merged)
+    check_leaf_set_unchanged(bvh, opt, 700)
+
+
 def test_reinsertion_preserves_hits(cornell_tris, golden_hits, golden_dir):
     import os
 
