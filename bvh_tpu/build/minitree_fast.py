@@ -93,29 +93,22 @@ def build_minitree_fast(
     bb_min = jnp.asarray(bb_min, jnp.float32)
     bb_max = jnp.asarray(bb_max, jnp.float32)
     centers = jnp.asarray(centers, jnp.float32)
-    n, dim = centers.shape
 
-    g_cap = min(1 << (config.log2_grid_dim * dim), n)
-    counts_all_dev, order = _staging_fn(config, g_cap)(centers)
     # One small readback ([g_cap] i32) sizes (G, P); order stays on
     # device (reading the [n] group vector back cost ~170 ms at 262K
     # over the tunnel).
-    counts_all = np.asarray(counts_all_dev)
-    counts = counts_all[counts_all > 0]  # present groups, morton-asc
-    G = len(counts)
-    P = int(max(128, ((counts.max() + 127) // 128) * 128))
-    NCAP = 2 * P
-
-    dev_fn = _device_build(n, dim, G, P, NCAP, g_cap, config, interpret)
-    return dev_fn(bb_min, bb_max, centers, order, jnp.asarray(counts))
+    order, counts, statics = staging_plan(centers, config)
+    dev_fn = _device_build(*statics, config, interpret)
+    return dev_fn(bb_min, bb_max, centers, order, counts)
 
 
 @functools.lru_cache(maxsize=32)
-def _device_build(n, dim, G, P, NCAP, g_cap, config: MiniTreeConfig,
-                  interpret):
-    """One jitted program: on-device packing, kernel launch, and
-    pruning/top-tree/splice. Cached per static shape so repeated builds
-    pay one dispatch."""
+def _device_build_raw(n, dim, G, P, NCAP, g_cap, config: MiniTreeConfig,
+                      interpret):
+    """The traceable (unjitted) device program: on-device packing,
+    kernel launch, and pruning/top-tree/splice. Exposed so callers can
+    compose it into larger jitted programs (e.g. a steady-state build
+    chain, or build + reinsertion fused into one dispatch)."""
 
     def fn(bb_min, bb_max, centers, order, counts):
         i32 = jnp.int32
@@ -151,7 +144,35 @@ def _device_build(n, dim, G, P, NCAP, g_cap, config: MiniTreeConfig,
         return _assemble(nbf, nbi, src, cnt, order, base, flat_q, off_q,
                          n, dim, G, P, NCAP, g_cap, config)
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def _device_build(n, dim, G, P, NCAP, g_cap, config: MiniTreeConfig,
+                  interpret):
+    """Jitted `_device_build_raw`, cached per static shape so repeated
+    builds pay one dispatch."""
+    return jax.jit(
+        _device_build_raw(n, dim, G, P, NCAP, g_cap, config, interpret))
+
+
+def staging_plan(centers, config: MiniTreeConfig | None = None):
+    """Host staging alone: returns (order, counts_dev, statics) where
+    statics = (n, dim, G, P, NCAP, g_cap). Callers composing the device
+    program into larger jitted chains (tools/bench_build.py) run this
+    once, then trace `_device_build_raw(*statics, config, interpret)`
+    inside their own jit."""
+    if config is None:
+        config = MiniTreeConfig()
+    centers = jnp.asarray(centers, jnp.float32)
+    n, dim = centers.shape
+    g_cap = min(1 << (config.log2_grid_dim * dim), n)
+    counts_all_dev, order = _staging_fn(config, g_cap)(centers)
+    counts_all = np.asarray(counts_all_dev)
+    counts = counts_all[counts_all > 0]
+    G = len(counts)
+    P = int(max(128, ((counts.max() + 127) // 128) * 128))
+    return order, jnp.asarray(counts), (n, dim, G, P, 2 * P, g_cap)
 
 
 def _assemble(nbf, nbi, src, cnt, order, base, flat_q, off_q, n, dim,

@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--high", action="store_true",
                     help="device quality=high: mini-tree fast + reinsertion")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--chain", type=int, default=0,
+                    help="ALSO measure mtf/high steady-state: K builds "
+                         "chained inside ONE jitted program (amortizes "
+                         "the ~100 ms/call tunnel dispatch, the analogue "
+                         "of the render chain)")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +90,60 @@ def main():
                       f"{int(bvh.node_count)} nodes)", flush=True)
             except Exception as e:
                 print(f"n={n:>9} {name:9s}: FAILED {str(e)[:200]}", flush=True)
+
+        if args.chain:
+            from bvh_tpu.build.minitree import MiniTreeConfig
+            from bvh_tpu.build.minitree_fast import (
+                _device_build_raw, staging_plan)
+            from bvh_tpu.build.reinsertion import (
+                ReinsertionConfig, optimize_reinsertion)
+
+            cfg = MiniTreeConfig()
+            order, counts, statics = staging_plan(centers, cfg)
+            raw = _device_build_raw(*statics, cfg, False)
+            K = args.chain
+
+            def chain_of(step):
+                @jax.jit
+                def run(bb_min, bb_max, centers, order, counts):
+                    def body(i, c):
+                        bvh = step(bb_min, bb_max, c, order, counts)
+                        # data-dependent feed-forward so XLA cannot
+                        # collapse the chain (bounds[0,0] is the scene
+                        # min corner: x + 0*x == x exactly)
+                        return c + 0.0 * bvh.bounds[0, 0]
+
+                    c = jax.lax.fori_loop(0, K - 1, body, centers)
+                    return step(bb_min, bb_max, c, order, counts)
+
+                return run
+
+            tiers = [("mtf chain", raw)]
+            if args.high:
+                rcfg = ReinsertionConfig()
+                tiers.append(("high chain", lambda *a: optimize_reinsertion(
+                    raw(*a), rcfg)))
+            for name, step in tiers:
+                try:
+                    fn = chain_of(step)
+                    t0 = time.perf_counter()
+                    bvh = sync(fn(bb_min, bb_max, centers, order, counts))
+                    t_compile = time.perf_counter() - t0
+                    ts = []
+                    for _ in range(args.reps):
+                        t0 = time.perf_counter()
+                        bvh = sync(fn(bb_min, bb_max, centers, order,
+                                      counts))
+                        ts.append((time.perf_counter() - t0) / K)
+                    ts.sort()
+                    dt = ts[len(ts) // 2]
+                    print(f"n={n:>9} {name:9s}: {n/dt/1e6:8.3f} Mprims/s "
+                          f"({dt*1e3:8.1f} ms/build x{K}, compile "
+                          f"{t_compile:.1f}s, {int(bvh.node_count)} nodes)",
+                          flush=True)
+                except Exception as e:
+                    print(f"n={n:>9} {name:9s}: FAILED {str(e)[:200]}",
+                          flush=True)
 
 
 if __name__ == "__main__":
