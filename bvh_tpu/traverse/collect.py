@@ -17,6 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from bvh_tpu.core.utils import robust_max, robust_min
 
@@ -58,19 +59,38 @@ def collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
     n_cols = table.shape[1]
     chunk = n_cols if fetch_chunk is None else min(fetch_chunk, n_cols)
 
-    def fetch(idx):
-        acc = None
-        for c in range(0, n_cols, chunk):
-            w = min(chunk, n_cols - c)
-            iota = jax.lax.broadcasted_iota(i32, (w, B), 0) + c
+    if chunk == n_cols:
+        def fetch(idx):
+            iota = jax.lax.broadcasted_iota(i32, (n_cols, B), 0)
             oh = (iota == idx).astype(f32)
-            part = jax.lax.dot_general(
-                table[:, c:c + w], oh, (((1,), (0,)), ((), ())),
+            return jax.lax.dot_general(
+                table, oh, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            acc = part if acc is None else acc + part
-        return acc
+    else:
+        # A python chunk loop unrolls, keeping every chunk's one-hot
+        # live at once (measured: 84 MB scoped at 7 x [1024, 4096] —
+        # the Mosaic compile fails); a fori_loop keeps exactly one.
+        # The caller pads the table to a chunk multiple (zero columns
+        # are never addressed: idx < real cols).
+        assert n_cols % chunk == 0, (n_cols, chunk)
+        rows = table.shape[0]
+
+        def fetch(idx):
+            def body(ci, acc):
+                c = pl.multiple_of(ci * chunk, chunk)
+                iota = jax.lax.broadcasted_iota(i32, (chunk, B), 0) + c
+                oh = (iota == idx).astype(f32)
+                tbl = jax.lax.dynamic_slice(table, (0, c), (rows, chunk))
+                return acc + jax.lax.dot_general(
+                    tbl, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            return jax.lax.fori_loop(
+                0, n_cols // chunk, body, jnp.zeros((rows, B), f32))
 
     def slab(bounds):
         t0, t1 = tmin, tmax0

@@ -1122,16 +1122,20 @@ def phase_a_plan(cols, top_block, *, top_stack=48, max_portals=32,
     row (32). It predicts a measured OOM exactly (B=8192, MP=64,
     top_stack=48 -> 19.5 MB predicted, 19.45 MB reported) and the
     proven sponza config inside budget (B=8192, MP=32 -> 12.2 MB,
-    compiles and runs). The one-hot fetch intermediate does NOT
-    materialize at cols x B (Mosaic tiles the dot): cols only enter
-    via the resident table. fetch_chunk bounds the one-hot streaming
-    at very large tables (the round-2 San-Miguel failure mode) and is
-    bit-identical by construction."""
+    compiles and runs). The single-dot one-hot fetch intermediate does
+    NOT materialize at cols x B (Mosaic tiles the dot): cols only
+    enter via the resident table. fetch_chunk bounds the one-hot
+    streaming at very large tables (the round-2 San-Miguel failure
+    mode) and is bit-identical by construction; the chunked fetch runs
+    as a fori_loop so exactly ONE [chunk, B] one-hot buffer is live
+    (an unrolled chunk loop kept all of them live — measured 84 MB
+    scoped at 7 x [1024, 4096], failing the remote Mosaic compile),
+    and that buffer IS budgeted below."""
     budget_w = budget_bytes // 4
-    per_ray = 7 * max_portals + 2 * top_stack + 52
+    fetch_chunk = 512 if cols > 2048 else None
+    per_ray = 7 * max_portals + 2 * top_stack + 52 + (fetch_chunk or 0)
     while top_block > 1024 and per_ray * top_block + 16 * cols > budget_w:
         top_block //= 2
-    fetch_chunk = 1024 if cols > 2048 else None
     return top_block, fetch_chunk
 
 
@@ -1188,6 +1192,12 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
     K2 = portals_per_round
 
     # ---- phase A ------------------------------------------------------
+    if fetch_chunk and top_node_t.shape[1] % fetch_chunk:
+        # the chunked fetch streams whole chunks: pad to a multiple
+        # (zero columns are never addressed — every fetched idx < cols)
+        top_node_t = jnp.pad(
+            top_node_t,
+            ((0, 0), (0, -top_node_t.shape[1] % fetch_chunk)))
     root = jnp.full((8, 128), top_root, i32)
     n_blocks = Rp // top_block
     grid_spec = pl.GridSpec(
