@@ -54,12 +54,13 @@ def collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
     padded = jax.lax.bitcast_convert_type(ui + jnp.uint32(2), f32)
     inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
     neg = jnp.signbit(dir_)
-    table = node_ref[:, :]
 
-    n_cols = table.shape[1]
+    n_cols = node_ref.shape[1]
     chunk = n_cols if fetch_chunk is None else min(fetch_chunk, n_cols)
 
     if chunk == n_cols:
+        table = node_ref[:, :]
+
         def fetch(idx):
             iota = jax.lax.broadcasted_iota(i32, (n_cols, B), 0)
             oh = (iota == idx).astype(f32)
@@ -72,17 +73,19 @@ def collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
         # A python chunk loop unrolls, keeping every chunk's one-hot
         # live at once (measured: 84 MB scoped at 7 x [1024, 4096] —
         # the Mosaic compile fails); a fori_loop keeps exactly one.
-        # The caller pads the table to a chunk multiple (zero columns
-        # are never addressed: idx < real cols).
+        # The chunk slice reads the ref with a dynamic pl.ds offset
+        # (Mosaic lowers ref slicing; lax.dynamic_slice on a value it
+        # does not). The caller pads the table to a chunk multiple
+        # (zero columns are never addressed: idx < real cols).
         assert n_cols % chunk == 0, (n_cols, chunk)
-        rows = table.shape[0]
+        rows = node_ref.shape[0]
 
         def fetch(idx):
             def body(ci, acc):
                 c = pl.multiple_of(ci * chunk, chunk)
                 iota = jax.lax.broadcasted_iota(i32, (chunk, B), 0) + c
                 oh = (iota == idx).astype(f32)
-                tbl = jax.lax.dynamic_slice(table, (0, c), (rows, chunk))
+                tbl = node_ref[:, pl.ds(c, chunk)]
                 return acc + jax.lax.dot_general(
                     tbl, oh, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,

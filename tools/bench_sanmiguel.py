@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--flat", action="store_true",
                     help="disable the super level (round-2 flat config)")
     ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--tail-block", type=int, default=256)
     ap.add_argument("--top-block", type=int, default=8192)
     ap.add_argument("--max-portals", type=int, default=64)
     ap.add_argument("--mps", type=int, default=16)
@@ -107,7 +108,8 @@ def main():
     print(f"table HBM: {tl.table.nbytes/1e9:.2f} GB", flush=True)
 
     Rp = _round_up(R, _lcm(args.block, args.top_block))
-    kw = dict(block=args.block, tail_block=256, top_block=args.top_block,
+    kw = dict(block=args.block, tail_block=args.tail_block,
+              top_block=args.top_block,
               max_portals=args.max_portals, max_rounds=args.max_rounds,
               portals_per_round=args.k, sel_cap=Rp // args.rc_div,
               mps=args.mps, max_new=args.max_new, k2=2,
