@@ -30,7 +30,13 @@ BASELINE_MRAYS_S = 9.5  # C++ reference (tools/oracle_trace.cpp, -O2
 # exact same rays/BVH.
 N_TRIS = 262_144
 SIDE = 1024
-ORACLE_HITS = 81790  # C++ reference closest-hit count, tools/check_oracle.py
+# Fallback oracle hit count (used only when the C++ toolchain is not
+# available to run the per-ray oracle). The per-ray oracle is the real
+# check: tools/check_oracle.py semantics, 4-per-million boundary budget
+# (TPU vs CPU FMA contraction flips Moller-Trumbore accepts within
+# ~1 ulp of a triangle edge; every sampled case f64-classified).
+ORACLE_HITS = 81790
+BOUNDARY_BUDGET = 4  # rays per million allowed to flip hit/miss
 
 
 def main():
@@ -90,7 +96,62 @@ def _build_bvh(tris):
             save_bvh(bvh, cache)
     from bvh_tpu.io.serialize import load_bvh
 
-    return load_bvh(cache)
+    return load_bvh(cache), cache
+
+
+def _oracle_check(bvh_path, tris, rays, hit, n_hits):
+    """Per-ray comparison against the C++ reference traced through the
+    SAME BVH (tools/check_oracle.py semantics): exact prim match per
+    ray, with the documented 4-per-million boundary budget for 1-ulp
+    Moller-Trumbore edge flips (TPU vs CPU FMA contraction; every
+    sampled case f64-classified — see PERFORMANCE.md). Falls back to a
+    hit-count tolerance if the C++ toolchain is unavailable."""
+    import subprocess
+
+    R = len(np.asarray(rays.tmin))
+    try:
+        oracle = "/tmp/oracle_trace"
+        if not os.path.exists(oracle):
+            subprocess.run(
+                ["g++", "-std=c++20", "-O2", "-march=native",
+                 "-I/root/reference/src", "-I/root/reference/test",
+                 "tools/oracle_trace.cpp", "-o", oracle],
+                check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        rays_packed = np.zeros((R, 8), np.float32)
+        rays_packed[:, 0:3] = np.asarray(rays.org)
+        rays_packed[:, 3:6] = np.asarray(rays.dir)
+        rays_packed[:, 6] = np.asarray(rays.tmin)
+        rays_packed[:, 7] = np.asarray(rays.tmax)
+        tris.astype(np.float32).reshape(len(tris), 9).tofile(
+            f"/tmp/bench_tris.bin")
+        rays_packed.tofile("/tmp/bench_rays.bin")
+        subprocess.run(
+            [oracle, bvh_path, "/tmp/bench_tris.bin", "/tmp/bench_rays.bin",
+             "/tmp/bench_oracle_out.bin"], check=True,
+            stdout=subprocess.DEVNULL)
+        raw = np.fromfile("/tmp/bench_oracle_out.bin", np.uint32)
+        raw = raw.reshape(R, 4)
+        ref_pos = np.where(raw[:, 0] == 0xFFFFFFFF, -1,
+                           raw[:, 0].astype(np.int64))
+        ref_t = raw[:, 1:2].view(np.float32)[:, 0]
+        our_t = np.asarray(hit.t)
+        our_pos = np.where(our_t < np.inf,
+                           np.asarray(hit.prim_pos).astype(np.int64), -1)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.check_oracle import compare
+
+        ok = compare("bench/wide_treelet", our_pos, our_t, ref_pos, ref_t)
+    except Exception as e:  # noqa: BLE001 - toolchain may be absent
+        print(f"# per-ray oracle unavailable ({e}); "
+              f"falling back to hit-count check", file=sys.stderr)
+        budget = max(1, (BOUNDARY_BUDGET * R) // 1_000_000)
+        ok = abs(n_hits - ORACLE_HITS) <= budget
+        print(f"# hit count {n_hits} vs oracle {ORACLE_HITS} "
+              f"(budget {budget})", file=sys.stderr)
+    print(f"# hits_match: {str(ok).lower()}", file=sys.stderr)
+    if not ok:
+        raise AssertionError("per-ray oracle mismatch beyond the "
+                             "documented boundary budget")
 
 
 def _run():
@@ -108,7 +169,7 @@ def _run():
 
     R = SIDE * SIDE
     tris = sponza_class(N_TRIS, seed=0)
-    bvh = _build_bvh(tris)
+    bvh, bvh_path = _build_bvh(tris)
     tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]),
               jnp.asarray(tris[:, 2]))
     flat = PrecomputedTri.from_tri(tri).as_flat()
@@ -129,13 +190,7 @@ def _run():
     hit = render(rays, check=True)  # compile + warm-up + overflow check
     n_hits = int(np.asarray(np.isfinite(hit.t)).sum())
     print(f"# {n_hits} intersections", file=sys.stderr)
-    if ORACLE_HITS is not None:
-        ok = n_hits == ORACLE_HITS
-        print(f"# hits_match: {str(ok).lower()} (oracle {ORACLE_HITS})",
-              file=sys.stderr)
-        if not ok:
-            raise AssertionError(
-                f"hit count {n_hits} != C++ oracle {ORACLE_HITS}")
+    _oracle_check(bvh_path, tris, rays, hit, n_hits)
 
     # Steady-state timing: K full renders chained inside one jitted
     # program (wide_treelet_render_chain docstring explains why; the
