@@ -31,12 +31,12 @@ BASELINE_MRAYS_S = 9.5  # C++ reference (tools/oracle_trace.cpp, -O2
 N_TRIS = 262_144
 SIDE = 1024
 # Fallback oracle hit count (used only when the C++ toolchain is not
-# available to run the per-ray oracle). The per-ray oracle is the real
-# check: tools/check_oracle.py semantics, 4-per-million boundary budget
-# (TPU vs CPU FMA contraction flips Moller-Trumbore accepts within
-# ~1 ulp of a triangle edge; every sampled case f64-classified).
+# available to run the per-ray oracle; compared exactly). The per-ray
+# oracle is the real check: tools/check_oracle.py semantics,
+# 4-per-million boundary budget (TPU vs CPU FMA contraction flips
+# Moller-Trumbore accepts within ~1 ulp of a triangle edge; every
+# sampled case f64-classified).
 ORACLE_HITS = 81790
-BOUNDARY_BUDGET = 4  # rays per million allowed to flip hit/miss
 
 
 def main():
@@ -47,6 +47,9 @@ def main():
     for attempt in range(3):
         try:
             return _run()
+        except AssertionError:
+            # deterministic oracle mismatch: fail fast, never retry
+            raise
         except Exception as e:  # noqa: BLE001 - backend errors vary
             last = e
             print(f"# attempt {attempt + 1} failed: {e}", file=sys.stderr)
@@ -99,41 +102,72 @@ def _build_bvh(tris):
     return load_bvh(cache), cache
 
 
-def _oracle_check(bvh_path, tris, rays, hit, n_hits):
-    """Per-ray comparison against the C++ reference traced through the
-    SAME BVH (tools/check_oracle.py semantics): exact prim match per
-    ray, with the documented 4-per-million boundary budget for 1-ulp
-    Moller-Trumbore edge flips (TPU vs CPU FMA contraction; every
-    sampled case f64-classified — see PERFORMANCE.md). Falls back to a
-    hit-count tolerance if the C++ toolchain is unavailable."""
+def _source_hash(*paths):
+    """Content hash of source files so a stale /tmp binary built from a
+    different checkout cannot be silently trusted."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in paths:
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _run_oracle(bvh_path, tris, rays):
+    """Compile (if needed) and run the C++ reference oracle over the
+    same (BVH, rays). Only this function is allowed to fail when the
+    toolchain is absent; comparison bugs must propagate.
+
+    Returns (ref_pos, ref_t) per ray."""
     import subprocess
+    import tempfile
 
     R = len(np.asarray(rays.tmin))
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "tools", "oracle_trace.cpp")
+    oracle = f"/tmp/oracle_trace_{_source_hash(src)}"
     try:
-        oracle = "/tmp/oracle_trace"
         if not os.path.exists(oracle):
             subprocess.run(
                 ["g++", "-std=c++20", "-O2", "-march=native",
                  "-I/root/reference/src", "-I/root/reference/test",
-                 "tools/oracle_trace.cpp", "-o", oracle],
-                check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+                 src, "-o", oracle], check=True, cwd=here)
+        tmpdir = tempfile.mkdtemp(prefix="bench_oracle_")
+        tris_bin = os.path.join(tmpdir, "tris.bin")
+        rays_bin = os.path.join(tmpdir, "rays.bin")
+        out_bin = os.path.join(tmpdir, "out.bin")
         rays_packed = np.zeros((R, 8), np.float32)
         rays_packed[:, 0:3] = np.asarray(rays.org)
         rays_packed[:, 3:6] = np.asarray(rays.dir)
         rays_packed[:, 6] = np.asarray(rays.tmin)
         rays_packed[:, 7] = np.asarray(rays.tmax)
-        tris.astype(np.float32).reshape(len(tris), 9).tofile(
-            f"/tmp/bench_tris.bin")
-        rays_packed.tofile("/tmp/bench_rays.bin")
-        subprocess.run(
-            [oracle, bvh_path, "/tmp/bench_tris.bin", "/tmp/bench_rays.bin",
-             "/tmp/bench_oracle_out.bin"], check=True,
-            stdout=subprocess.DEVNULL)
-        raw = np.fromfile("/tmp/bench_oracle_out.bin", np.uint32)
-        raw = raw.reshape(R, 4)
-        ref_pos = np.where(raw[:, 0] == 0xFFFFFFFF, -1,
-                           raw[:, 0].astype(np.int64))
-        ref_t = raw[:, 1:2].view(np.float32)[:, 0]
+        tris.astype(np.float32).reshape(len(tris), 9).tofile(tris_bin)
+        rays_packed.tofile(rays_bin)
+        subprocess.run([oracle, bvh_path, tris_bin, rays_bin, out_bin],
+                       check=True, stdout=subprocess.DEVNULL)
+        raw = np.fromfile(out_bin, np.uint32).reshape(R, 4)
+    except (FileNotFoundError, OSError, subprocess.CalledProcessError) as e:
+        return None, e
+    ref_pos = np.where(raw[:, 0] == 0xFFFFFFFF, -1,
+                       raw[:, 0].astype(np.int64))
+    ref_t = raw[:, 1:2].view(np.float32)[:, 0]
+    return (ref_pos, ref_t), None
+
+
+def _oracle_check(bvh_path, tris, rays, hit, n_hits):
+    """Per-ray comparison against the C++ reference traced through the
+    SAME BVH (tools/check_oracle.py semantics): exact prim match per
+    ray, with the documented 4-per-million boundary budget for 1-ulp
+    Moller-Trumbore edge flips (TPU vs CPU FMA contraction; every
+    sampled case f64-classified — see PERFORMANCE.md). Falls back to an
+    exact hit-count equality check only when the C++ toolchain itself
+    is unavailable (compile/run failure); any error in the comparison
+    code propagates."""
+    R = len(np.asarray(rays.tmin))
+    ref, err = _run_oracle(bvh_path, tris, rays)
+    if ref is not None:
+        ref_pos, ref_t = ref
         our_t = np.asarray(hit.t)
         our_pos = np.where(our_t < np.inf,
                            np.asarray(hit.prim_pos).astype(np.int64), -1)
@@ -141,13 +175,17 @@ def _oracle_check(bvh_path, tris, rays, hit, n_hits):
         from tools.check_oracle import compare
 
         ok = compare("bench/wide_treelet", our_pos, our_t, ref_pos, ref_t)
-    except Exception as e:  # noqa: BLE001 - toolchain may be absent
-        print(f"# per-ray oracle unavailable ({e}); "
-              f"falling back to hit-count check", file=sys.stderr)
-        budget = max(1, (BOUNDARY_BUDGET * R) // 1_000_000)
-        ok = abs(n_hits - ORACLE_HITS) <= budget
-        print(f"# hit count {n_hits} vs oracle {ORACLE_HITS} "
-              f"(budget {budget})", file=sys.stderr)
+    else:
+        # toolchain absent: exact hit-count equality (ORACLE_HITS was
+        # measured to match exactly). NOTE: a count check cannot detect
+        # compensating flips (equal numbers of spurious + missing hits);
+        # the per-ray oracle is the real gate.
+        print(f"# per-ray oracle unavailable ({err}); "
+              f"falling back to exact hit-count check "
+              f"(cannot detect compensating flips)", file=sys.stderr)
+        ok = n_hits == ORACLE_HITS
+        print(f"# hit count {n_hits} vs oracle {ORACLE_HITS} (exact)",
+              file=sys.stderr)
     print(f"# hits_match: {str(ok).lower()}", file=sys.stderr)
     if not ok:
         raise AssertionError("per-ray oracle mismatch beyond the "

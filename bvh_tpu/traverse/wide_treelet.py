@@ -1689,6 +1689,41 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             lanes, ovf, povf_i.astype(f32))
 
 
+def _up_pow2(x: int) -> int:
+    return 1 << max(0, int(x) - 1).bit_length()
+
+
+def wide_treelet_caps(tl: WideTreelets, portals_per_round: int = 4) -> dict:
+    """Scene-derived starting values for the portal/round capacity
+    knobs, so any-size scenes run unattended with zero knobs (the
+    reference's scaling contract, mini_tree_builder.h:47-58).
+
+    Model: a ray crossing a 3D scene cut into T similar-size treelets
+    enters O(T^(1/3)) of them (a line through a k x k x k grid crosses
+    ~3k cells); measured anchors: sponza-class T~500 fits in 32
+    portals, San-Miguel 10M T=13363 needs 128 = ~5.4 * T^(1/3).  The
+    super-level caps scale the same way against S supers and T/S
+    treelets per super.  `max_rounds` is a pure while-loop bound (no
+    memory cost), so it gets generous headroom for chunked/capped
+    schedules that replay rounds.  These are STARTING values — the
+    driver verifies the exact sticky overflow flags after the first
+    run and auto-raises the named cap (see
+    wide_treelet_intersect_tris)."""
+    T = int(tl.table.shape[0])
+    S = int(tl.sup_table.shape[0])
+    max_portals = max(32, min(512, _up_pow2(6 * round(T ** (1.0 / 3.0)))))
+    if S > 0:
+        mps = max(16, min(256, _up_pow2(max(S // 4,
+                                            6 * round(S ** (1.0 / 3.0))))))
+        per_super = max(1, T // S)
+        max_new = max(16, min(256, _up_pow2(per_super // 4)))
+    else:
+        mps, max_new = 16, 16
+    max_rounds = max(64, 32 * max_portals // max(1, portals_per_round))
+    return dict(max_portals=max_portals, max_rounds=max_rounds,
+                mps=mps, max_new=max_new)
+
+
 def wide_treelet_intersect_tris(
     tl: WideTreelets,
     rays: Ray,
@@ -1701,17 +1736,18 @@ def wide_treelet_intersect_tris(
     top_block: int = 8192,
     top_stack: int | None = None,
     stack_depth: int | None = None,
-    max_portals: int = 32,
-    max_rounds: int = 64,
+    max_portals: int | None = None,
+    max_rounds: int | None = None,
     sel_cap: int | None = None,
     portals_per_round: int = 4,
-    max_new: int = 16,
+    max_new: int | None = None,
     k2: int = 2,
-    mps: int = 16,
+    mps: int | None = None,
     a2_cap: int | None = None,
     max_runs: int = 4096,
     tail_cap: int | None = None,
     check_overflow: bool = True,
+    auto_caps: bool = True,
     return_diag: bool = False,
     interpret: bool = False,
 ) -> Hit:
@@ -1723,7 +1759,18 @@ def wide_treelet_intersect_tris(
 
     `sel_cap`: rays scheduled per round (default Rp/4, clamped to a
     block multiple); rays beyond the cap simply wait a round.
-    `portals_per_round`: portals expanded per selected ray per round."""
+    `portals_per_round`: portals expanded per selected ray per round.
+
+    Capacity knobs {max_portals, max_rounds, mps, max_new} default to
+    scene-derived values (wide_treelet_caps) and, when `auto_caps` and
+    `check_overflow` are on, self-correct: every capacity has an exact
+    sticky overflow flag, and on overflow the named cap is doubled (or
+    jumped straight to the reported need) and the render re-runs —
+    results from an overflowed run are never returned.  Each retry is
+    a recompile, so the scene-derived starting values matter; retries
+    print a warning to stderr.  The resolved caps are returned in the
+    diag dict (`return_diag`) so steady-state benchmark chains can
+    reuse them without re-probing."""
     R = rays.tmin.shape[0]
     # Exact stack sizing by default (no silent overflow possible; an
     # explicit smaller value is guarded by the sticky overflow flag).
@@ -1731,69 +1778,94 @@ def wide_treelet_intersect_tris(
         top_stack = tl.top_depth + 1
     if stack_depth is None:
         stack_depth = 7 * tl.wide_depth + 8
-    top_block, fetch_chunk = phase_a_plan(
-        tl.top_node_t.shape[1], top_block, top_stack=top_stack,
-        max_portals=max_portals)
-    Rp = _round_up(R, _lcm(block, top_block))
-    if sel_cap is None:
-        sel_cap = max(block, _round_up(Rp // 4, block))
-    sel_cap = min(_round_up(sel_cap, block), Rp)
-    packed = jnp.zeros((8, Rp), jnp.float32)
-    packed = packed.at[0:3, :R].set(rays.org.T)
-    packed = packed.at[3:6, :R].set(rays.dir.T)
-    packed = packed.at[6, :R].set(rays.tmin)
-    packed = packed.at[7, :R].set(rays.tmax)
-    if Rp > R:
-        packed = packed.at[6, R:].set(1.0)  # tmin > tmax: inactive
-        packed = packed.at[3, R:].set(1.0)
-
-    (bt, bu, bv, pos_f, pcnt, rounds, iters, lanes, ovf,
-     povf) = _render_jit(
-        tl.top_node_t, tl.table, packed, tl.sup_table,
-        top_root=tl.top_root, any_hit=any_hit, robust=robust, block=block,
-        tail_block=tail_block, top_block=top_block, top_stack=top_stack,
-        stack_depth=stack_depth, max_portals=max_portals,
-        max_rounds=max_rounds, sel_cap=sel_cap,
-        portals_per_round=portals_per_round, interpret=interpret,
-        sup_stack=tl.sup_depth + 1, max_new=max_new, k2=k2, mps=mps,
-        a2_cap=a2_cap, max_runs=max_runs, tail_cap=tail_cap,
-        fetch_chunk=fetch_chunk,
+    auto = wide_treelet_caps(tl, portals_per_round)
+    caps = dict(
+        max_portals=max_portals if max_portals is not None
+        else auto["max_portals"],
+        max_rounds=max_rounds if max_rounds is not None
+        else auto["max_rounds"],
+        mps=mps if mps is not None else auto["mps"],
+        max_new=max_new if max_new is not None else auto["max_new"],
+        stack_depth=stack_depth,
     )
-    # the overflow checks read back scalars, which synchronizes the
-    # whole render (~35 ms tunnel roundtrip); benchmarks that pipeline
-    # calls can defer them and inspect the diag afterwards
-    if R and check_overflow:
+
+    import sys as _sys
+
+    for attempt in range(8):
+        tb_a, fetch_chunk = phase_a_plan(
+            tl.top_node_t.shape[1], top_block, top_stack=top_stack,
+            max_portals=caps["max_portals"])
+        Rp = _round_up(R, _lcm(block, tb_a))
+        sel = sel_cap
+        if sel is None:
+            sel = max(block, _round_up(Rp // 4, block))
+        sel = min(_round_up(sel, block), Rp)
+        packed = jnp.zeros((8, Rp), jnp.float32)
+        packed = packed.at[0:3, :R].set(rays.org.T)
+        packed = packed.at[3:6, :R].set(rays.dir.T)
+        packed = packed.at[6, :R].set(rays.tmin)
+        packed = packed.at[7, :R].set(rays.tmax)
+        if Rp > R:
+            packed = packed.at[6, R:].set(1.0)  # tmin > tmax: inactive
+            packed = packed.at[3, R:].set(1.0)
+
+        (bt, bu, bv, pos_f, pcnt, rounds, iters, lanes, ovf,
+         povf) = _render_jit(
+            tl.top_node_t, tl.table, packed, tl.sup_table,
+            top_root=tl.top_root, any_hit=any_hit, robust=robust,
+            block=block, tail_block=tail_block, top_block=tb_a,
+            top_stack=top_stack, stack_depth=caps["stack_depth"],
+            max_portals=caps["max_portals"],
+            max_rounds=caps["max_rounds"], sel_cap=sel,
+            portals_per_round=portals_per_round, interpret=interpret,
+            sup_stack=tl.sup_depth + 1, max_new=caps["max_new"], k2=k2,
+            mps=caps["mps"], a2_cap=a2_cap, max_runs=max_runs,
+            tail_cap=tail_cap, fetch_chunk=fetch_chunk,
+        )
+        if not (R and check_overflow):
+            break
+        # the overflow checks read back scalars, which synchronizes the
+        # whole render (~35 ms tunnel roundtrip); benchmarks that
+        # pipeline calls can defer them and inspect the diag afterwards
+        bumps: dict[str, int] = {}
+        msgs: list[str] = []
         max_cnt = int(jnp.max(pcnt[:R]))
-        if max_cnt > max_portals:
-            raise ValueError(
-                f"portal list overflow: a ray entered {max_cnt} treelet "
-                f"boxes (capacity {max_portals}); raise max_portals or "
-                f"rebuild with a larger max_prims"
-            )
+        if max_cnt > caps["max_portals"]:
+            bumps["max_portals"] = _up_pow2(max_cnt)
+            msgs.append(f"a ray entered {max_cnt} treelet boxes "
+                        f"(max_portals={caps['max_portals']})")
         if int(ovf):
+            bumps["stack_depth"] = 2 * caps["stack_depth"]
+            msgs.append(f"traversal stack overflow "
+                        f"(stack_depth={caps['stack_depth']})")
+        bits = int(povf)
+        if bits & 1:
+            bumps["mps"] = 2 * caps["mps"]
+            msgs.append(f"a ray entered more than mps={caps['mps']} supers")
+        if bits & 2:
+            bumps["max_new"] = 2 * caps["max_new"]
+            msgs.append(f"a (ray, super) pair recorded more than "
+                        f"max_new={caps['max_new']} treelet portals")
+        if bits & 4:
+            bumps["max_portals"] = max(
+                bumps.get("max_portals", 0), 2 * caps["max_portals"])
+            msgs.append(f"a merged portal list exceeded "
+                        f"max_portals={caps['max_portals']}")
+        if bits & 8:
+            bumps["max_rounds"] = 2 * caps["max_rounds"]
+            msgs.append(f"max_rounds={caps['max_rounds']} ended the "
+                        f"render with portals still pending")
+        if not bumps:
+            break
+        if not auto_caps or attempt == 7:
             raise ValueError(
-                f"traversal stack overflow (capacity {stack_depth}); "
-                f"raise stack_depth"
-            )
-        if int(povf):
-            bits = int(povf)
-            what = []
-            if bits & 1:
-                what.append(f"a ray entered more than mps={mps} supers")
-            if bits & 2:
-                what.append(f"a (ray, super) pair recorded more than "
-                            f"max_new={max_new} treelet portals")
-            if bits & 4:
-                what.append(f"a merged portal list exceeded "
-                            f"max_portals={max_portals}")
-            if bits & 8:
-                what.append(f"max_rounds={max_rounds} ended the render "
-                            f"with portals still pending")
-            raise ValueError(
-                "super-portal capacity overflow: " + "; ".join(what)
-                + " — raise the named cap or rebuild with a larger "
-                  "super_prims"
-            )
+                "wide-treelet capacity overflow: " + "; ".join(msgs)
+                + " — raise the named cap, enable auto_caps, or rebuild "
+                  "with different max_prims/super_prims")
+        caps.update(bumps)
+        print(f"# wide_treelet: capacity overflow ({'; '.join(msgs)}); "
+              f"auto-raising to {bumps} and re-running (recompile)",
+              file=_sys.stderr, flush=True)
 
     bt, bu, bv, pos_f = bt[:R], bu[:R], bv[:R], pos_f[:R]
     pos = pos_f.astype(jnp.int32)
@@ -1817,7 +1889,8 @@ def wide_treelet_intersect_tris(
     if return_diag:
         return hit, {"rounds": rounds, "block_iters": iters,
                      "lane_steps": lanes,
-                     "stack_overflow": ovf, "portal_overflow": povf}
+                     "stack_overflow": ovf, "portal_overflow": povf,
+                     "caps": dict(caps)}
     return hit
 
 
@@ -1833,15 +1906,23 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
     `profile()`, benchmark.cpp:60-71). Each iteration feeds a
     numerically-identical but data-dependent ray buffer forward so XLA
     cannot collapse the chain.
+
+    Capacity knobs default to the same scene-derived values as
+    wide_treelet_intersect_tris; pass that call's resolved `caps`
+    (diag["caps"]) so the chain runs with verified capacities — the
+    chain itself never checks overflow (it is a pure throughput
+    probe over a configuration the verified call already validated).
     """
     from functools import partial
 
+    auto = wide_treelet_caps(tl, kw.get("portals_per_round", 4))
     block = kw.get("block", 1024)
     top_block = kw.get("top_block", 8192)
+    max_portals = kw.get("max_portals") or auto["max_portals"]
     top_block, fetch_chunk = phase_a_plan(
         tl.top_node_t.shape[1], top_block,
         top_stack=kw.get("top_stack") or tl.top_depth + 1,
-        max_portals=kw.get("max_portals", 32))
+        max_portals=max_portals)
     R = rays.tmin.shape[0]
     Rp = _round_up(R, _lcm(block, top_block))
     sel_cap = kw.get("sel_cap") or min(
@@ -1862,11 +1943,13 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         top_block=top_block,
         top_stack=kw.get("top_stack") or tl.top_depth + 1,
         stack_depth=kw.get("stack_depth") or 7 * tl.wide_depth + 8,
-        max_portals=kw.get("max_portals", 32),
-        max_rounds=kw.get("max_rounds", 64), sel_cap=sel_cap,
+        max_portals=max_portals,
+        max_rounds=kw.get("max_rounds") or auto["max_rounds"],
+        sel_cap=sel_cap,
         portals_per_round=kw.get("portals_per_round", 4), interpret=False,
-        sup_stack=tl.sup_depth + 1, max_new=kw.get("max_new", 16),
-        k2=kw.get("k2", 2), mps=kw.get("mps", 16),
+        sup_stack=tl.sup_depth + 1,
+        max_new=kw.get("max_new") or auto["max_new"],
+        k2=kw.get("k2", 2), mps=kw.get("mps") or auto["mps"],
         a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
         tail_cap=kw.get("tail_cap"), fetch_chunk=fetch_chunk)
 

@@ -26,13 +26,15 @@ def main():
     ap.add_argument("--block", type=int, default=1024)
     ap.add_argument("--tail-block", type=int, default=256)
     ap.add_argument("--top-block", type=int, default=8192)
-    ap.add_argument("--max-portals", type=int, default=64)
-    ap.add_argument("--mps", type=int, default=16)
-    ap.add_argument("--max-new", type=int, default=16)
+    # capacity knobs default to 0 = scene-derived (wide_treelet_caps)
+    # with exact-overflow auto-retry — the zero-knob contract
+    ap.add_argument("--max-portals", type=int, default=0)
+    ap.add_argument("--mps", type=int, default=0)
+    ap.add_argument("--max-new", type=int, default=0)
     ap.add_argument("--k", type=int, default=4)
     ap.add_argument("--rc-div", type=int, default=8)
     ap.add_argument("--max-runs", type=int, default=2048)
-    ap.add_argument("--max-rounds", type=int, default=64)
+    ap.add_argument("--max-rounds", type=int, default=0)
     ap.add_argument("--tail-cap", type=int, default=0)
     ap.add_argument("--chain", type=int, default=4)
     args = ap.parse_args()
@@ -110,9 +112,10 @@ def main():
     Rp = _round_up(R, _lcm(args.block, args.top_block))
     kw = dict(block=args.block, tail_block=args.tail_block,
               top_block=args.top_block,
-              max_portals=args.max_portals, max_rounds=args.max_rounds,
+              max_portals=args.max_portals or None,
+              max_rounds=args.max_rounds or None,
               portals_per_round=args.k, sel_cap=Rp // args.rc_div,
-              mps=args.mps, max_new=args.max_new, k2=2,
+              mps=args.mps or None, max_new=args.max_new or None, k2=2,
               max_runs=args.max_runs,
               tail_cap=args.tail_cap or None)
     t0 = time.perf_counter()
@@ -123,9 +126,13 @@ def main():
     print(f"hits: {n_hits} rounds={int(diag['rounds'])} "
           f"block_iters={int(diag['block_iters'])} "
           f"ovf={int(diag['stack_overflow'])} "
-          f"povf={int(diag['portal_overflow'])}", flush=True)
+          f"povf={int(diag['portal_overflow'])} "
+          f"caps={diag['caps']}", flush=True)
 
     K = args.chain
+    # the verified call resolved (and possibly auto-raised) the caps;
+    # the chain reuses them so it measures the same configuration
+    kw.update(diag["caps"])
     chain = wide_treelet_render_chain(tl, rays, K, **kw)
     t0 = time.perf_counter()
     float(chain()[0])
