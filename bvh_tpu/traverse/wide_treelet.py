@@ -1711,7 +1711,7 @@ def wide_treelet_caps(tl: WideTreelets, portals_per_round: int = 4) -> dict:
     wide_treelet_intersect_tris)."""
     T = int(tl.table.shape[0])
     S = int(tl.sup_table.shape[0])
-    max_portals = max(32, min(512, _up_pow2(6 * round(T ** (1.0 / 3.0)))))
+    max_portals = max(32, min(512, _up_pow2(5 * round(T ** (1.0 / 3.0)))))
     if S > 0:
         mps = max(16, min(256, _up_pow2(max(S // 4,
                                             6 * round(S ** (1.0 / 3.0))))))

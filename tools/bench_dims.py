@@ -5,6 +5,12 @@
 - 3D f64 triangles through the XLA wavefront (TPUs have no f64 vector
   unit; XLA emulates doubles — this is the honest f64 path).
 
+Each sphere configuration is also parity-checked ON HARDWARE against
+the XLA wavefront over a 16K-ray subset (the Mosaic-lowered kernel vs
+the interpret-mode-tested numerics; the test suite deliberately never
+touches the TPU, so this tool is the hardware parity gate — recorded
+per round in BENCHMARKS_r*.txt).
+
 Run ALONE (single TPU process).
 usage: python tools/bench_dims.py [--m 1024] [--rays 262144]
 """
@@ -67,6 +73,28 @@ def main():
         nh = int(np.isfinite(np.asarray(hit.t)).sum())
         print(f"{dim}D f32 spheres (pallas): {R/dt/1e6:7.2f} Mrays/s "
               f"({dt*1e3:.1f} ms, {nh} hits, m={args.m})", flush=True)
+
+        # hardware parity vs the XLA wavefront (16K-ray subset): the
+        # discrete result (which prim) must match exactly; t/v within
+        # the documented FMA-contraction tolerance
+        from bvh_tpu.traverse.wavefront import make_sphere_leaf_fn, traverse
+
+        Rs = min(16_384, R)
+        sub = Ray(org=rays.org[:Rs], dir=rays.dir[:Rs],
+                  tmin=rays.tmin[:Rs], tmax=rays.tmax[:Rs])
+        want = traverse(bvh, sub, make_sphere_leaf_fn(bvh, centers, radii))
+        got_t = np.asarray(hit.t[:Rs])
+        want_t = np.asarray(want.t)
+        want_hit = np.asarray(want.hit)
+        got_hit = np.isfinite(got_t)
+        assert (got_hit == want_hit).all(), f"{dim}D hit-set mismatch"
+        assert (np.asarray(hit.prim_id[:Rs])[got_hit]
+                == np.asarray(want.prim_id)[want_hit]).all(), (
+            f"{dim}D prim mismatch")
+        np.testing.assert_allclose(got_t[got_hit], want_t[want_hit],
+                                   rtol=2e-5)
+        print(f"  parity vs wavefront (hardware, {Rs} rays): ok",
+              flush=True)
 
     # ---- 3D f64 triangles, XLA wavefront -----------------------------
     jax.config.update("jax_enable_x64", True)
