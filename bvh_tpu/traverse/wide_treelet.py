@@ -231,6 +231,17 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     sizes regardless of scene size. None = auto (enabled when the top
     region exceeds 4096 nodes)."""
     assert 1 <= leaf_prims <= 60
+    import os as _os
+    import time as _time
+    _dbg = _os.environ.get("BVH_TPU_PP_DEBUG")
+    _t = [_time.perf_counter()]
+
+    def _mark(name):
+        if _dbg:
+            now = _time.perf_counter()
+            print(f"# pp {name}: {now - _t[0]:.2f} s", flush=True)
+            _t[0] = now
+
     nc = int(bvh.node_count)
     dim = bvh.dim
     assert dim == 3, "wide treelet path is specialized for 3D"
@@ -259,6 +270,7 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
         if len(li):
             nprims[li] = nprims[first[li]] + nprims[first[li] + 1]
 
+    _mark("subtree-counts")
     # ---- treelet roots + top region ----------------------------------
     parent = np.full(nc, -1, np.int64)
     ii = np.nonzero(inner)[0]
@@ -272,6 +284,7 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     tid_of_root = np.full(nc, -1, np.int64)
     tid_of_root[troots] = np.arange(T)
 
+    _mark("roots")
     # ---- collapse every treelet into wide nodes ----------------------
     # Leaf collapsing: a slot whose subtree holds <= leaf_prims prims
     # terminates and becomes a dense run of quad columns (SAH builders
@@ -282,6 +295,7 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     )
     W = len(wide_tid)
 
+    _mark("collapse")
     # ---- quad leaf assignment (global, vectorized) --------------------
     valid = slot_node >= 0
     sl = np.clip(slot_node, 0, nc - 1)
@@ -329,6 +343,7 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     out[np.repeat(offset[ln], c) + within] = np.repeat(first[ln], c) + within
     assert tot == total_out
 
+    _mark("quad-assign")
     P = int(_round_up(max(1, int((n_wide[:T] + n_quads).max())), 128))
 
     # ---- pack per-treelet combined tables -----------------------------
@@ -387,17 +402,27 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
         ppos = out[np.clip(oidx, 0, total_out - 1)]
         ppos_c = np.clip(ppos, 0, len(prim_ids) - 1)
         tri_idx = ppos_c if permuted else prim_ids[ppos_c]
-        geo = tri_np[np.clip(tri_idx, 0, len(tri_np) - 1)]  # [q, 4, 12]
-        geo = np.where(pvalid[:, :, None], geo, 0.0)
+        # route invalid slots to a zero sentinel row INSIDE the gather
+        # (a [q, 4, 12] np.where over the gathered buffer cost ~4.5 s
+        # at San-Miguel scale; the sentinel is free)
+        tri_pad = np.concatenate(
+            [tri_np, np.zeros((1, tri_np.shape[1]), np.float32)])
+        tri_idx = np.where(pvalid, np.clip(tri_idx, 0, len(tri_np) - 1),
+                           len(tri_np))
+        geo = tri_pad[tri_idx]                                 # [q, 4, 12]
         gpos = np.where(pvalid, ppos, -1).astype(np.float32)
-        # one fused fancy write for all 4*13 quad rows (was 52 scattered
-        # passes over ~n/4 quads — the other packing hot spot at 10M)
-        val = np.concatenate([geo, gpos[:, :, None]], axis=2)  # [q, 4, 13]
-        rows_q = (np.arange(QUAD)[:, None] * 13
-                  + np.arange(13)[None, :])                    # [4, 13]
-        table[qtid[:, None, None], rows_q[None, :, :],
-              qcol[:, None, None]] = val
+        # two fused fancy writes (all 4*12 geometry rows, then the 4
+        # gpos rows — was 52 scattered passes over ~n/4 quads, the
+        # other packing hot spot at 10M; fusing gpos into geo via
+        # concatenate cost a 560 MB copy)
+        rows_g = (np.arange(QUAD)[:, None] * 13
+                  + np.arange(12)[None, :])                    # [4, 12]
+        table[qtid[:, None, None], rows_g[None, :, :],
+              qcol[:, None, None]] = geo
+        table[qtid[:, None], np.arange(QUAD)[None, :] * 13 + 12,
+              qcol[:, None]] = gpos
 
+    _mark("pack-tables")
     # ---- super level (San-Miguel scale): cut the top region ----------
     top_all = np.nonzero(is_top)[0]
     if super_prims is None and len(top_all) > 4096:
@@ -456,6 +481,7 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     else:
         top_nodes = top_all
 
+    _mark("super")
     # ---- top-region binary pair table (phase-A collect format) -------
     if len(top_nodes) == 0:
         top_rows = np.zeros((1, 14), np.float32)
@@ -505,6 +531,7 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
         if in_region[lev].any():
             top_depth = li + 2
 
+    _mark("top-table")
     return WideTreelets(
         top_node_t=jnp.asarray(top_node_t),
         top_root=top_root,

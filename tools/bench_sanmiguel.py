@@ -125,6 +125,8 @@ def main():
     print(f"compile+run: {time.perf_counter()-t0:.1f} s", flush=True)
     print(f"hits: {n_hits} rounds={int(diag['rounds'])} "
           f"block_iters={int(diag['block_iters'])} "
+          f"lane_steps={int(diag['lane_steps'])} "
+          f"occ~={int(diag['lane_steps'])/max(1,int(diag['block_iters']))/args.tail_block:.3f} "
           f"ovf={int(diag['stack_overflow'])} "
           f"povf={int(diag['portal_overflow'])} "
           f"caps={diag['caps']}", flush=True)
