@@ -78,149 +78,204 @@ def compute_parents(index, node_count, cap):
     return parents
 
 
-def _find_reinsertion_batch(bounds, index, parents, node_ids, valid, stack_depth):
+def _find_reinsertion_batch(bounds, index, parents, node_ids, valid,
+                            stack_depth, tail_div=8):
     """Vectorized branch-and-bound search (reference: 107-188).
 
     For each candidate `from`-node, walks pivots up to the root; at each
     pivot explores the sibling subtree with a bounded stack, tracking
     the best area decrease. Returns (to, area_diff) per candidate.
 
+    Round-4 rework (two changes, measured on hardware with
+    tools/profile_reinsertion.py):
+
+    - PAIRED stack entries: children are always allocated in pairs
+      (bvh.h:33-51), and the reference pushes both with the SAME bound
+      (166-170). One stack entry `(val, first << 1 | 1)` covers both,
+      and each pop evaluates two nodes — half the lockstep steps and
+      half the [stack_depth, B] mask traffic. The pivot-seed pushes a
+      single `(val, sib << 1)`. Branch-and-bound returns the global
+      argmax under any exploration order, so results are unchanged
+      (ties between equal diffs may pick a different, equally-optimal
+      target).
+
+    - TWO-PHASE tail compaction: the lockstep while_loop runs until the
+      survivor count drops below B/tail_div, then compacts the full
+      per-lane state into a B/tail_div-wide second loop — stragglers
+      (candidates near the root exploring large subtrees) stop paying
+      for the finished 90%.
+
     The per-candidate stacks live as [stack_depth, B] carries written
-    through lane-iota masks (dense selects) rather than scatters: the
-    branch-and-bound loop runs hundreds of lockstep steps, and a
+    through lane-iota masks (dense selects) rather than scatters: a
     [B, depth] scatter per push/pop measured ~2x the per-step cost of
-    the mask form on this backend (tools/profile_reinsertion.py).
+    the mask form on this backend.
     """
     cap = index.shape[0]
     B = node_ids.shape[0]
     dtype = bounds.dtype
+    i32 = jnp.int32
 
-    node_area = _half_area_rows(bounds[node_ids])
-    node_mn = bounds[node_ids][:, 0::2]
-    node_mx = bounds[node_ids][:, 1::2]
-
-    parent0 = parents[node_ids]
-    parent_area = _half_area_rows(bounds[parent0])
+    node_area_all = _half_area_rows(bounds[node_ids])
+    node_mn_all = bounds[node_ids][:, 0::2]
+    node_mx_all = bounds[node_ids][:, 1::2]
+    parent0_all = parents[node_ids]
+    parent_area = _half_area_rows(bounds[parent0_all])
     sib0 = Bvh.get_sibling_id(node_ids)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (stack_depth, B), 0)
+    def make_step(width):
+        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, width), 0)
 
-    # Per-candidate state of the two nested loops flattened into one
-    # while_loop: (pivot walk) x (subtree stack).
+        def step(s):
+            alive = s["alive"]
+            sp = s["sp"]
+            node_area = s["node_area"]
+            # Seed the stack with (area_diff, sibling-as-single) when
+            # starting a pivot level (reference: 151).
+            need_seed = alive & ~s["seeded"]
+            m = (lanes == sp[None, :]) & need_seed[None, :]
+            stack_val = jnp.where(m, s["area_diff"][None, :],
+                                  s["stack_val"])
+            stack_id = jnp.where(m, (s["sibling"] << 1)[None, :],
+                                 s["stack_id"])
+            sp = jnp.where(need_seed, sp + 1, sp)
+            seeded = s["seeded"] | need_seed
+
+            # Pop one entry (a node pair, or the single seed) and
+            # evaluate both nodes (reference: 152-170).
+            has_work = alive & (sp > 0)
+            spm1 = jnp.clip(sp - 1, 0, stack_depth - 1)
+            mpop = lanes == spm1[None, :]
+            top_val = jnp.sum(jnp.where(mpop, stack_val, 0), axis=0,
+                              dtype=stack_val.dtype)
+            top_enc = jnp.sum(jnp.where(mpop, stack_id, 0), axis=0,
+                              dtype=i32)
+            sp = jnp.where(has_work, sp - 1, sp)
+            is_pair = (top_enc & 1) == 1
+            base = top_enc >> 1
+
+            prune = top_val - node_area <= s["best_diff"]  # bound (155)
+            eval0 = has_work & ~prune
+            eval1 = eval0 & is_pair
+
+            best_to = s["best_to"]
+            best_diff = s["best_diff"]
+            for k, (cid, ev) in enumerate(
+                    ((base, eval0), (base + 1, eval1))):
+                cidc = jnp.clip(cid, 0, cap - 1)
+                dst_row = bounds[cidc]
+                merged_mn = jnp.minimum(dst_row[:, 0::2], s["node_mn"])
+                merged_mx = jnp.maximum(dst_row[:, 1::2], s["node_mx"])
+                merged_area = bbox_ops.get_half_area(merged_mn, merged_mx)
+                reinsert_area = top_val - merged_area
+                better = ev & (reinsert_area > best_diff)
+                best_to = jnp.where(better, cid, best_to)
+                best_diff = jnp.where(better, reinsert_area, best_diff)
+                # Push this child's own pair (reference: 166-170).
+                dst_idx = index[cidc]
+                push = ev & Index.is_inner(dst_idx)
+                child_area = reinsert_area + _half_area_rows(dst_row)
+                first = Index.first_id(dst_idx).astype(i32)
+                mp = (lanes == sp[None, :]) & push[None, :]
+                stack_val = jnp.where(mp, child_area[None, :], stack_val)
+                stack_id = jnp.where(mp, ((first << 1) | 1)[None, :],
+                                     stack_id)
+                sp = jnp.where(push, sp + 1, sp)
+
+            # When this pivot's subtree is exhausted, climb one level;
+            # stop when the climb would reach the root (reference:
+            # 173-182).
+            exhausted = alive & seeded & (sp == 0)
+            next_pivot = parents[jnp.clip(s["pivot"], 0, cap - 1)]
+            finish = exhausted & (next_pivot == 0)
+            climb = exhausted & (next_pivot != 0)
+
+            new_sibling = Bvh.get_sibling_id(s["pivot"])
+            sib_row = bounds[jnp.clip(s["sibling"], 0, cap - 1)]
+            ext_mn = jnp.minimum(s["pivot_mn"], sib_row[:, 0::2])
+            ext_mx = jnp.maximum(s["pivot_mx"], sib_row[:, 1::2])
+            pivot_row = bounds[jnp.clip(s["pivot"], 0, cap - 1)]
+            new_area_diff = (s["area_diff"] + _half_area_rows(pivot_row)
+                             - bbox_ops.get_half_area(ext_mn, ext_mx))
+
+            # The reference extends pivot_bbox with the *current*
+            # sibling before computing the decrease, only when pivot !=
+            # parent (from the second climb on).
+            is_first_climb = s["pivot"] == s["parent0"]
+            area_diff = jnp.where(
+                climb,
+                jnp.where(is_first_climb, s["area_diff"], new_area_diff),
+                s["area_diff"],
+            )
+            cnf = climb[:, None] & ~is_first_climb[:, None]
+            pivot_mn = jnp.where(cnf, ext_mn, s["pivot_mn"])
+            pivot_mx = jnp.where(cnf, ext_mx, s["pivot_mx"])
+
+            return dict(
+                s,
+                best_to=best_to,
+                best_diff=best_diff,
+                area_diff=area_diff,
+                pivot=jnp.where(climb, next_pivot, s["pivot"]),
+                sibling=jnp.where(climb, new_sibling, s["sibling"]),
+                pivot_mn=pivot_mn,
+                pivot_mx=pivot_mx,
+                stack_val=stack_val,
+                stack_id=stack_id,
+                sp=sp,
+                seeded=seeded & ~climb,
+                alive=alive & ~finish,
+            )
+
+        return step
+
     state = dict(
-        best_to=jnp.zeros((B,), jnp.int32),
+        best_to=jnp.zeros((B,), i32),
         best_diff=jnp.zeros((B,), dtype),  # must be > 0 to accept
         area_diff=parent_area,
-        pivot=parent0,
+        pivot=parent0_all,
         sibling=sib0,
         pivot_mn=bounds[sib0][:, 0::2],
         pivot_mx=bounds[sib0][:, 1::2],
         stack_val=jnp.zeros((stack_depth, B), dtype),
-        stack_id=jnp.zeros((stack_depth, B), jnp.int32),
-        sp=jnp.zeros((B,), jnp.int32),
+        stack_id=jnp.zeros((stack_depth, B), i32),
+        sp=jnp.zeros((B,), i32),
         seeded=jnp.zeros((B,), bool),  # sibling pushed for this pivot?
         alive=valid & (node_ids != 0),
+        # per-lane constants (ride the compaction gather)
+        node_area=node_area_all,
+        node_mn=node_mn_all,
+        node_mx=node_mx_all,
+        parent0=parent0_all,
     )
 
-    def step(s):
-        alive = s["alive"]
-        sp = s["sp"]
-        # Seed the stack with (area_diff, sibling) when starting a pivot
-        # level (reference: 151).
-        need_seed = alive & ~s["seeded"]
-        m = (lanes == sp[None, :]) & need_seed[None, :]
-        stack_val = jnp.where(m, s["area_diff"][None, :], s["stack_val"])
-        stack_id = jnp.where(m, s["sibling"][None, :], s["stack_id"])
-        sp = jnp.where(need_seed, sp + 1, sp)
-        seeded = s["seeded"] | need_seed
+    Bt = max(128, B // tail_div)
+    if Bt >= B:
+        state = jax.lax.while_loop(
+            lambda s: jnp.any(s["alive"]), make_step(B), state)
+        best_to, best_diff = state["best_to"], state["best_diff"]
+    else:
+        # phase 1: full width until few survivors remain
+        state = jax.lax.while_loop(
+            lambda s: jnp.sum(s["alive"]) > Bt, make_step(B), state)
+        # compact the survivors (alive lanes first, stable)
+        iota_b = jnp.arange(B, dtype=i32)
+        _, order = jax.lax.sort(
+            (1 - state["alive"].astype(i32), iota_b), num_keys=1)
+        sel = order[:Bt]
 
-        # Pop one entry and evaluate (reference: 152-170).
-        has_work = alive & (sp > 0)
-        spm1 = jnp.clip(sp - 1, 0, stack_depth - 1)
-        mpop = lanes == spm1[None, :]
-        top_val = jnp.sum(jnp.where(mpop, stack_val, 0), axis=0,
-                          dtype=stack_val.dtype)
-        top_id = jnp.sum(jnp.where(mpop, stack_id, 0), axis=0,
-                         dtype=jnp.int32)
-        sp = jnp.where(has_work, sp - 1, sp)
+        def take(x):
+            return jnp.take(x, sel, axis=-1)
 
-        prune = top_val - node_area <= s["best_diff"]  # bound (155)
-        eval_ = has_work & ~prune
+        tail = {k: (take(v) if v.ndim == 1 or k in ("stack_val", "stack_id")
+                    else jnp.take(v, sel, axis=0))
+                for k, v in state.items()}
+        tail = jax.lax.while_loop(
+            lambda s: jnp.any(s["alive"]), make_step(Bt), tail)
+        best_to = state["best_to"].at[sel].set(tail["best_to"])
+        best_diff = state["best_diff"].at[sel].set(tail["best_diff"])
 
-        dst_row = bounds[jnp.clip(top_id, 0, cap - 1)]
-        merged_mn = jnp.minimum(dst_row[:, 0::2], node_mn)
-        merged_mx = jnp.maximum(dst_row[:, 1::2], node_mx)
-        merged_area = bbox_ops.get_half_area(merged_mn, merged_mx)
-        reinsert_area = top_val - merged_area
-        better = eval_ & (reinsert_area > s["best_diff"])
-        best_to = jnp.where(better, top_id, s["best_to"])
-        best_diff = jnp.where(better, reinsert_area, s["best_diff"])
-
-        # Push children with the child bound (reference: 166-170).
-        dst_idx = index[jnp.clip(top_id, 0, cap - 1)]
-        dst_inner = Index.is_inner(dst_idx)
-        child_area = reinsert_area + _half_area_rows(dst_row)
-        push = eval_ & dst_inner
-        first = Index.first_id(dst_idx).astype(jnp.int32)
-        m0 = (lanes == sp[None, :]) & push[None, :]
-        m1 = (lanes == (sp + 1)[None, :]) & push[None, :]
-        stack_val = jnp.where(m0 | m1, child_area[None, :], stack_val)
-        stack_id = jnp.where(m0, first[None, :], stack_id)
-        stack_id = jnp.where(m1, (first + 1)[None, :], stack_id)
-        sp = jnp.where(push, sp + 2, sp)
-
-        # When this pivot's subtree is exhausted, climb one level; stop
-        # when the climb would reach the root (reference: 173-182, the
-        # do-while exits when parents[pivot] == 0 so the root-level
-        # sibling is never explored).
-        exhausted = alive & seeded & (sp == 0)
-        next_pivot = parents[jnp.clip(s["pivot"], 0, cap - 1)]
-        finish = exhausted & (next_pivot == 0)
-        climb = exhausted & (next_pivot != 0)
-
-        # pivot_bbox extend + area_diff update happen for pivots past the
-        # first (reference: 175-178): after moving to the new pivot, if
-        # new pivot != original parent.
-        new_sibling = Bvh.get_sibling_id(s["pivot"])
-        sib_row = bounds[jnp.clip(s["sibling"], 0, cap - 1)]
-        ext_mn = jnp.minimum(s["pivot_mn"], sib_row[:, 0::2])
-        ext_mx = jnp.maximum(s["pivot_mx"], sib_row[:, 1::2])
-        pivot_row = bounds[jnp.clip(s["pivot"], 0, cap - 1)]
-        new_area_diff = s["area_diff"] + _half_area_rows(pivot_row) - bbox_ops.get_half_area(ext_mn, ext_mx)
-
-        # The reference extends pivot_bbox with the *current* sibling
-        # before computing the decrease, only when pivot != parent
-        # (i.e. from the second climb on).
-        is_first_climb = s["pivot"] == parent0
-        area_diff = jnp.where(
-            climb,
-            jnp.where(is_first_climb, s["area_diff"], new_area_diff),
-            s["area_diff"],
-        )
-        pivot_mn = jnp.where(climb[:, None] & ~is_first_climb[:, None], ext_mn, s["pivot_mn"])
-        pivot_mx = jnp.where(climb[:, None] & ~is_first_climb[:, None], ext_mx, s["pivot_mx"])
-
-        return dict(
-            best_to=best_to,
-            best_diff=best_diff,
-            area_diff=area_diff,
-            pivot=jnp.where(climb, next_pivot, s["pivot"]),
-            sibling=jnp.where(climb, new_sibling, s["sibling"]),
-            pivot_mn=pivot_mn,
-            pivot_mx=pivot_mx,
-            stack_val=stack_val,
-            stack_id=stack_id,
-            sp=sp,
-            seeded=seeded & ~climb,
-            alive=alive & ~finish,
-        )
-
-    state = jax.lax.while_loop(lambda s: jnp.any(s["alive"]), step, state)
-
-    best_to = state["best_to"]
-    best_diff = state["best_diff"]
     # Reject degenerate targets (reference: 184-187).
-    degenerate = (best_to == Bvh.get_sibling_id(node_ids)) | (best_to == parent0)
+    degenerate = (best_to == sib0) | (best_to == parent0_all)
     ok = valid & (node_ids != 0) & ~degenerate & (best_diff > 0)
     return jnp.where(ok, best_to, 0), jnp.where(ok, best_diff, 0)
 

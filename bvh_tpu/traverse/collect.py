@@ -58,6 +58,11 @@ def collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
     n_cols = node_ref.shape[1]
     chunk = n_cols if fetch_chunk is None else min(fetch_chunk, n_cols)
 
+    # NOTE: phase A keeps the f32 HIGHEST-precision fetch. The 3x-bf16
+    # scheme (onehot.py) does not fuse at phase-A widths (B up to 8192:
+    # the bf16 one-hot materializes in scoped VMEM, +8 MB at 384x8192,
+    # OOM) and phase A is not fetch-bound — its tables are kept small
+    # by the super level. The wide/A2 kernels (B <= ~1024) use it.
     if chunk == n_cols:
         table = node_ref[:, :]
 

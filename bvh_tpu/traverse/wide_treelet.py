@@ -597,15 +597,9 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
     inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
     neg = jnp.signbit(dir_)
 
-    P = table.shape[1]
+    from bvh_tpu.traverse.onehot import make_onehot_fetch
 
-    def fetch(idx):
-        iota = jax.lax.broadcasted_iota(i32, (P, B), 0)
-        oh = (iota == idx).astype(f32)
-        return jax.lax.dot_general(
-            table, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
-        )
+    fetch = make_onehot_fetch(table, B)
 
     inf_row = jnp.full((1, B), jnp.inf, f32)
 
@@ -912,15 +906,10 @@ def _collect_core(table, org, dir_, tmin, tmax0, lane_active, root_word,
     padded = jax.lax.bitcast_convert_type(ui + jnp.uint32(2), f32)
     inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
     neg = jnp.signbit(dir_)
-    P = table.shape[1]
 
-    def fetch(idx):
-        iota = jax.lax.broadcasted_iota(i32, (P, B), 0)
-        oh = (iota == idx).astype(f32)
-        return jax.lax.dot_general(
-            table, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
-        )
+    from bvh_tpu.traverse.onehot import make_onehot_fetch
+
+    fetch = make_onehot_fetch(table, B)
 
     def slab(row6, tmax):
         t0, t1 = tmin, tmax
