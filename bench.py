@@ -35,7 +35,9 @@ SIDE = 1024
 # oracle is the real check: tools/check_oracle.py semantics,
 # 4-per-million boundary budget (TPU vs CPU FMA contraction flips
 # Moller-Trumbore accepts within ~1 ulp of a triangle edge; every
-# sampled case f64-classified).
+# sampled case f64-classified). 81790 for the device-built high BVH
+# (round 4: per-ray oracle shows 1048575/1048576 exact prim matches,
+# 1 exact-t tie, zero real mismatches on this BVH).
 ORACLE_HITS = 81790
 
 
@@ -68,35 +70,42 @@ def _scene_hash(tris):
 
 
 def _build_bvh(tris):
-    """Quality-high BVH, cached on disk (keyed by scene content hash).
-    Prefers the native library (sub-second, reference pipeline); falls
-    back to the on-device LBVH when the shared library is unavailable."""
-    cache = f"/tmp/bench_sponza_{N_TRIS}_{_scene_hash(tris)}.bvh"
+    """Quality-high BVH built ON DEVICE — mini-tree-fast + reinsertion,
+    the reference High pipeline (default_builder.h:33-46) — cached on
+    disk keyed by scene content hash. The native C++ library is only a
+    fallback (and the oracle binary traces whatever BVH this returns,
+    so the per-ray gate is unaffected by the builder choice)."""
+    cache = f"/tmp/bench_sponza_dev_{N_TRIS}_{_scene_hash(tris)}.bvh"
     if not os.path.exists(cache):
         try:
+            import jax.numpy as jnp
+
+            from bvh_tpu.build.minitree import MiniTreeConfig
+            from bvh_tpu.build.minitree_fast import build_minitree_fast
+            from bvh_tpu.build.reinsertion import optimize_reinsertion
+            from bvh_tpu.io.serialize import save_bvh
+
+            mn = jnp.asarray(tris.min(axis=1), jnp.float32)
+            mx = jnp.asarray(tris.max(axis=1), jnp.float32)
+            cc = jnp.asarray(tris.mean(axis=1), jnp.float32)
+            t0 = time.perf_counter()
+            bvh = build_minitree_fast(mn, mx, cc, MiniTreeConfig())
+            bvh = optimize_reinsertion(bvh)
+            float(bvh.bounds[0, 0])  # force
+            print(f"# device high build (mtf + reinsertion): "
+                  f"{time.perf_counter()-t0:.2f} s (incl. compile)",
+                  file=sys.stderr)
+            save_bvh(bvh, cache)
+        except Exception as e:  # noqa: BLE001
+            print(f"# device high build failed ({e}); "
+                  f"falling back to the native library", file=sys.stderr)
             from bvh_tpu.api.native import NativeBvh3f, load_library
 
             nat = NativeBvh3f(load_library())
-            t0 = time.perf_counter()
             h = nat.build(tris.min(axis=1), tris.max(axis=1),
                           tris.mean(axis=1), quality=2)
-            print(f"# native high build: {time.perf_counter()-t0:.2f} s",
-                  file=sys.stderr)
             nat.save(h, cache)
             nat.destroy(h)
-        except Exception as e:  # noqa: BLE001
-            print(f"# native build unavailable ({e}); using LBVH",
-                  file=sys.stderr)
-            import jax
-            import jax.numpy as jnp
-
-            from bvh_tpu.build.lbvh import build_lbvh
-            from bvh_tpu.io.serialize import save_bvh
-
-            bvh = jax.jit(build_lbvh)(
-                jnp.asarray(tris.min(axis=1)), jnp.asarray(tris.max(axis=1)),
-                jnp.asarray(tris.mean(axis=1)))
-            save_bvh(bvh, cache)
     from bvh_tpu.io.serialize import load_bvh
 
     return load_bvh(cache), cache

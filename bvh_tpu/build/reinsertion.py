@@ -453,5 +453,14 @@ def _one_iteration(
     # are inert (-1).
     parents = compute_parents(index, node_count, cap)
     seeds = jnp.where(accepted[None, :], conflicts, -1).reshape(-1)
+    # Deduplicate seeds before climbing: the 5 conflict nodes of
+    # accepted moves overlap heavily (shared parents/siblings), and
+    # every duplicate pays the full climb-to-root loop. One sort +
+    # neighbor-compare marks duplicates inert (climb order does not
+    # matter — every seed climbs to the root independently).
+    s_sorted = jnp.sort(seeds)
+    dup = jnp.concatenate([jnp.zeros((1,), bool),
+                           s_sorted[1:] == s_sorted[:-1]])
+    seeds = jnp.where(dup, -1, s_sorted)
     bounds = _refit_dirty(bounds, index, parents, seeds)
     return bounds, index

@@ -155,7 +155,44 @@ def main():
             cond, body, (bounds, is_leaf | (ids >= node_count)))
         return out
 
-    timeit("refit(while)", stage_refit, bounds, index, node_count)
+    timeit("refit(while,FULL)", stage_refit, bounds, index, node_count)
+
+    # --- the ACTUAL production stages (what _one_iteration runs) ------
+    from bvh_tpu.build.reinsertion import (
+        _greedy_accept, _refit_dirty, _one_iteration)
+
+    @jax.jit
+    def stage_fixpoint(to, diff, cand, parents):
+        order = jnp.argsort(-diff)
+        to_s = to[order]
+        from_s = cand[order]
+        sib_s = Bvh.get_sibling_id(from_s)
+        pto_s = parents[jnp.clip(to_s, 0, cap - 1)]
+        pfrom_s = parents[jnp.clip(from_s, 0, cap - 1)]
+        conflicts = jnp.stack([to_s, from_s, sib_s, pto_s, pfrom_s])
+        return _greedy_accept(conflicts, diff[order] > 0, cap)
+
+    accepted = timeit("accept(fixpoint)", stage_fixpoint, to, diff,
+                      cand, parents)
+
+    @jax.jit
+    def stage_dirty(bounds, index, parents, to, diff, cand, accepted):
+        order = jnp.argsort(-diff)
+        to_s = to[order]
+        from_s = cand[order]
+        sib_s = Bvh.get_sibling_id(from_s)
+        pto_s = parents[jnp.clip(to_s, 0, cap - 1)]
+        pfrom_s = parents[jnp.clip(from_s, 0, cap - 1)]
+        conflicts = jnp.stack([to_s, from_s, sib_s, pto_s, pfrom_s])
+        seeds = jnp.where(accepted[None, :], conflicts, -1).reshape(-1)
+        return _refit_dirty(bounds, index, parents, seeds)
+
+    timeit("refit(dirty-path)", stage_dirty, bounds, index, parents,
+           to, diff, cand, accepted)
+
+    one = jax.jit(lambda b, i, n: _one_iteration(
+        b, i, n, batch_cap + (-batch_cap) % 128, stack_depth, 0.05))
+    timeit("ONE FULL ITERATION", one, bounds, index, node_count)
 
 
 if __name__ == "__main__":
