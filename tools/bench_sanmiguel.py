@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--max-rounds", type=int, default=0)
     ap.add_argument("--tail-cap", type=int, default=0)
     ap.add_argument("--chain", type=int, default=4)
+    ap.add_argument("--builder", choices=["lbvh", "mtf"], default="lbvh",
+                    help="device builder for the BVH (mtf = mini-tree "
+                         "fast, the SAH tree the High pipeline uses)")
     args = ap.parse_args()
 
     import jax
@@ -53,14 +56,26 @@ def main():
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     tris = sponza_class(args.n, seed=0)
-    cache = f"/tmp/bench_lbvh_{args.n}.bvh"
+    cache = f"/tmp/bench_{args.builder}_{args.n}.bvh"
     if not os.path.exists(cache):
         t0 = time.perf_counter()
-        bvh = jax.jit(build_lbvh)(
-            jnp.asarray(tris.min(axis=1)), jnp.asarray(tris.max(axis=1)),
-            jnp.asarray(tris.mean(axis=1)))
+        if args.builder == "mtf":
+            from bvh_tpu.build.minitree import MiniTreeConfig
+            from bvh_tpu.build.minitree_fast import build_minitree_fast
+
+            bvh = build_minitree_fast(
+                jnp.asarray(tris.min(axis=1), jnp.float32),
+                jnp.asarray(tris.max(axis=1), jnp.float32),
+                jnp.asarray(tris.mean(axis=1), jnp.float32),
+                MiniTreeConfig())
+        else:
+            bvh = jax.jit(build_lbvh)(
+                jnp.asarray(tris.min(axis=1)),
+                jnp.asarray(tris.max(axis=1)),
+                jnp.asarray(tris.mean(axis=1)))
         float(bvh.bounds[0, 0])
-        print(f"lbvh build: {time.perf_counter()-t0:.1f} s", flush=True)
+        print(f"{args.builder} build: {time.perf_counter()-t0:.1f} s",
+              flush=True)
         save_bvh(bvh, cache)
     bvh = load_bvh(cache)
     tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]),
@@ -74,7 +89,10 @@ def main():
     sp = (None if args.super_prims == 0 else args.super_prims)
     if args.flat:
         sp = 1 << 62  # larger than any subtree: super level off
-    tl_cache = (f"/tmp/bench_tl_{args.n}_{args.max_prims}_"
+    tl_cache = (f"/tmp/bench_tl_{args.builder}_{args.n}_{args.max_prims}_"
+                f"{'flat' if args.flat else (sp or 'auto')}.npz"
+                if args.builder != "lbvh" else
+                f"/tmp/bench_tl_{args.n}_{args.max_prims}_"
                 f"{'flat' if args.flat else (sp or 'auto')}.npz")
     if os.path.exists(tl_cache):
         z = np.load(tl_cache)

@@ -43,16 +43,23 @@ def main():
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     tris = sponza_class(args.n, seed=0)
-    cache = f"/tmp/bench_sponza_{args.n}.bvh"
-    if not os.path.exists(cache):
-        nat = NativeBvh3f(load_library())
-        t0 = time.perf_counter()
-        h = nat.build(tris.min(axis=1), tris.max(axis=1),
-                      tris.mean(axis=1), quality=2)
-        print(f"native high build: {time.perf_counter() - t0:.2f} s",
-              flush=True)
-        nat.save(h, cache)
-        nat.destroy(h)
+    # prefer the device-built high BVH (what bench.py's headline uses)
+    import glob
+    dev = sorted(glob.glob(f"/tmp/bench_sponza_dev_{args.n}_*.bvh"))
+    if dev:
+        cache = dev[0]
+        print(f"using device-built BVH {cache}", flush=True)
+    else:
+        cache = f"/tmp/bench_sponza_{args.n}.bvh"
+        if not os.path.exists(cache):
+            nat = NativeBvh3f(load_library())
+            t0 = time.perf_counter()
+            h = nat.build(tris.min(axis=1), tris.max(axis=1),
+                          tris.mean(axis=1), quality=2)
+            print(f"native high build: {time.perf_counter() - t0:.2f} s",
+                  flush=True)
+            nat.save(h, cache)
+            nat.destroy(h)
     bvh = load_bvh(cache)
     tri = Tri(jnp.asarray(tris[:, 0]), jnp.asarray(tris[:, 1]),
               jnp.asarray(tris[:, 2]))

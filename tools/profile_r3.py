@@ -55,7 +55,11 @@ def main():
     from bvh_tpu.traverse.collect import _collect_kernel
 
     tris = sponza_class(n, seed=0)
-    bvh = load_bvh(f"/tmp/bench_sponza_{n}.bvh")
+    import glob
+    dev = sorted(glob.glob(f"/tmp/bench_sponza_dev_{n}_*.bvh"))
+    path = dev[0] if dev else f"/tmp/bench_sponza_{n}.bvh"
+    print(f"BVH: {path}", flush=True)
+    bvh = load_bvh(path)
     tri = Tri(*(jnp.asarray(tris[:, i]) for i in range(3)))
     flat = PrecomputedTri.from_tri(tri).as_flat()
     eye, d, up = scene_camera(tris)
