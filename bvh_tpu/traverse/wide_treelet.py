@@ -636,35 +636,51 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         row = fetch(fetch_idx)
 
         # ---- quad leaf step: 4 sequential Moller-Trumbore tests ------
-        done_by_hit = jnp.zeros((1, B), bool)
-        for j in range(QUAD):
-            p0 = row[j * 13: j * 13 + 3]
-            e1 = row[j * 13 + 3: j * 13 + 6]
-            e2 = row[j * 13 + 6: j * 13 + 9]
-            nrm = row[j * 13 + 9: j * 13 + 12]
-            gpos = row[j * 13 + 12: j * 13 + 13].astype(i32)
-            cvec = p0 - org
-            rvec = jnp.concatenate(
-                [dir_[1:2] * cvec[2:3] - dir_[2:3] * cvec[1:2],
-                 dir_[2:3] * cvec[0:1] - dir_[0:1] * cvec[2:3],
-                 dir_[0:1] * cvec[1:2] - dir_[1:2] * cvec[0:1]], axis=0)
-            inv_det = 1.0 / jnp.sum(nrm * dir_, axis=0, keepdims=True)
-            uu = jnp.sum(rvec * e2, axis=0, keepdims=True) * inv_det
-            vv = jnp.sum(rvec * e1, axis=0, keepdims=True) * inv_det
-            ww = 1.0 - uu - vv
-            tt = jnp.sum(nrm * cvec, axis=0, keepdims=True) * inv_det
-            tol = -eps
-            tri_hit = ((uu >= tol) & (vv >= tol) & (ww >= tol)
-                       & (tt >= tmin) & (tt <= tmax) & in_leaf
-                       & (gpos >= 0) & ~done_by_hit)
-            best_t = jnp.where(tri_hit, tt, best_t)
-            if not any_hit:
-                tmax = jnp.where(tri_hit, tt, tmax)
-            else:
-                done_by_hit = done_by_hit | tri_hit
-            best_u = jnp.where(tri_hit, uu, best_u)
-            best_v = jnp.where(tri_hit, vv, best_v)
-            best_pos = jnp.where(tri_hit, gpos, best_pos)
+        # Gated behind a block-wide any(): pair sorting groups lanes by
+        # (treelet, octant), so whole blocks spend runs of iterations
+        # all-inner (descending) or all-leaf (draining quad columns);
+        # skipping the dead phase saves its ~140 VPU ops per lane.
+        def leaf_phase(args):
+            (best_t, tmax, best_u, best_v, best_pos) = args
+            done_by_hit = jnp.zeros((1, B), i32)
+            for j in range(QUAD):
+                p0 = row[j * 13: j * 13 + 3]
+                e1 = row[j * 13 + 3: j * 13 + 6]
+                e2 = row[j * 13 + 6: j * 13 + 9]
+                nrm = row[j * 13 + 9: j * 13 + 12]
+                gpos = row[j * 13 + 12: j * 13 + 13].astype(i32)
+                cvec = p0 - org
+                rvec = jnp.concatenate(
+                    [dir_[1:2] * cvec[2:3] - dir_[2:3] * cvec[1:2],
+                     dir_[2:3] * cvec[0:1] - dir_[0:1] * cvec[2:3],
+                     dir_[0:1] * cvec[1:2] - dir_[1:2] * cvec[0:1]],
+                    axis=0)
+                inv_det = 1.0 / jnp.sum(nrm * dir_, axis=0, keepdims=True)
+                uu = jnp.sum(rvec * e2, axis=0, keepdims=True) * inv_det
+                vv = jnp.sum(rvec * e1, axis=0, keepdims=True) * inv_det
+                ww = 1.0 - uu - vv
+                tt = jnp.sum(nrm * cvec, axis=0, keepdims=True) * inv_det
+                tol = -eps
+                tri_hit = ((uu >= tol) & (vv >= tol) & (ww >= tol)
+                           & (tt >= tmin) & (tt <= tmax) & in_leaf
+                           & (gpos >= 0) & (done_by_hit == 0))
+                best_t = jnp.where(tri_hit, tt, best_t)
+                if not any_hit:
+                    tmax = jnp.where(tri_hit, tt, tmax)
+                else:
+                    done_by_hit = done_by_hit | tri_hit.astype(i32)
+                best_u = jnp.where(tri_hit, uu, best_u)
+                best_v = jnp.where(tri_hit, vv, best_v)
+                best_pos = jnp.where(tri_hit, gpos, best_pos)
+            return (best_t, tmax, best_u, best_v, best_pos, done_by_hit)
+
+        # NOTE: gating the phases behind lax.cond(any(in_leaf)) was
+        # measured SLOWER (84.6 vs 88.5 Mrays/s sponza-chain): the
+        # scf.if boundary costs more than the skipped VPU work. Both
+        # phases run unconditionally, lane-masked.
+        (best_t, tmax, best_u, best_v, best_pos, done_i) = leaf_phase(
+            (best_t, tmax, best_u, best_v, best_pos))
+        done_by_hit = done_i > 0
         leaf_cur = jnp.where(in_leaf, leaf_cur + 1, leaf_cur)
         leaf_rem = jnp.where(in_leaf, leaf_rem - 1, leaf_rem)
         leaf_exhausted = in_leaf & (leaf_rem == 0) & ~done_by_hit
@@ -674,61 +690,70 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         top_is_leaf = (top & 15) != 0
         enter_leaf = in_inner & top_is_leaf
         do_node = in_inner & ~top_is_leaf
-
-        t0s = []
-        hits = []
-        for c in range(WIDTH):
-            t0 = tmin
-            t1 = tmax
-            for d in range(3):
-                lo = row[c * 6 + 2 * d: c * 6 + 2 * d + 1]
-                hi = row[c * 6 + 2 * d + 1: c * 6 + 2 * d + 2]
-                ng = neg[d:d + 1]
-                nb = jnp.where(ng, hi, lo)
-                fb = jnp.where(ng, lo, hi)
-                if robust:
-                    tn = (nb - org[d:d + 1]) * inv_dir[d:d + 1]
-                    tf = (fb - org[d:d + 1]) * inv_pad[d:d + 1]
-                else:
-                    tn = nb * inv_dir[d:d + 1] + inv_org[d:d + 1]
-                    tf = fb * inv_dir[d:d + 1] + inv_org[d:d + 1]
-                # robust_max/min with NaN swallowed as in node.h:105-117
-                t0 = jnp.maximum(tn, t0)
-                t1 = jnp.minimum(tf, t1)
-            t0s.append(t0)
-            # Mosaic cannot concatenate i1 vregs; carry hits as i32.
-            hits.append((t0 <= t1).astype(i32))
-        t0v = jnp.concatenate(t0s, axis=0)       # [8, B]
-        hitm = jnp.concatenate(hits, axis=0) > 0
-        words = row[48:56].astype(i32)
-        if any_hit:
-            # slot order (SATO: slots are area-descending by collapse)
-            # int iota then cast: Mosaic's tpu.iota is integer-only
-            keys = jnp.where(
-                hitm,
-                jax.lax.broadcasted_iota(i32, (WIDTH, B), 0).astype(f32),
-                inf_row * jnp.ones((WIDTH, 1), f32),
-            )
-        else:
-            keys = jnp.where(hitm, t0v, jnp.inf)
-        kt, wt = _sort8(keys, words)
-        n_hits = jnp.sum(hitm.astype(i32), axis=0, keepdims=True)
-
-        descend = do_node & (n_hits > 0)
-        new_top = wt[0]
         lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
-        # push far-to-near so the nearest remaining pops first
-        for j in range(WIDTH - 1, 0, -1):
-            push_j = do_node & (n_hits > j)
-            col = (lanes == sp) & push_j
-            stack = jnp.where(col, wt[j], stack)
-            ovf = jnp.where(push_j & (sp >= stack_depth), 1, ovf)
-            sp = jnp.where(push_j, jnp.minimum(sp + 1, stack_depth), sp)
+
+        def inner_phase(args):
+            stack, sp, ovf = args
+            t0s = []
+            hits = []
+            for c in range(WIDTH):
+                t0 = tmin
+                t1 = tmax
+                for d in range(3):
+                    lo = row[c * 6 + 2 * d: c * 6 + 2 * d + 1]
+                    hi = row[c * 6 + 2 * d + 1: c * 6 + 2 * d + 2]
+                    ng = neg[d:d + 1]
+                    nb = jnp.where(ng, hi, lo)
+                    fb = jnp.where(ng, lo, hi)
+                    if robust:
+                        tn = (nb - org[d:d + 1]) * inv_dir[d:d + 1]
+                        tf = (fb - org[d:d + 1]) * inv_pad[d:d + 1]
+                    else:
+                        tn = nb * inv_dir[d:d + 1] + inv_org[d:d + 1]
+                        tf = fb * inv_dir[d:d + 1] + inv_org[d:d + 1]
+                    # robust_max/min, NaN swallowed as node.h:105-117
+                    t0 = jnp.maximum(tn, t0)
+                    t1 = jnp.minimum(tf, t1)
+                t0s.append(t0)
+                # Mosaic cannot concatenate i1 vregs; carry as i32.
+                hits.append((t0 <= t1).astype(i32))
+            t0v = jnp.concatenate(t0s, axis=0)       # [8, B]
+            hitm = jnp.concatenate(hits, axis=0) > 0
+            words = row[48:56].astype(i32)
+            if any_hit:
+                # slot order (SATO: slots area-descending by collapse)
+                # int iota then cast: Mosaic's tpu.iota is integer-only
+                keys = jnp.where(
+                    hitm,
+                    jax.lax.broadcasted_iota(
+                        i32, (WIDTH, B), 0).astype(f32),
+                    inf_row * jnp.ones((WIDTH, 1), f32),
+                )
+            else:
+                keys = jnp.where(hitm, t0v, jnp.inf)
+            kt, wt = _sort8(keys, words)
+            n_hits = jnp.sum(hitm.astype(i32), axis=0, keepdims=True)
+
+            descend = do_node & (n_hits > 0)
+            new_top = wt[0]
+            # push far-to-near so the nearest remaining pops first
+            for j in range(WIDTH - 1, 0, -1):
+                push_j = do_node & (n_hits > j)
+                col = (lanes == sp) & push_j
+                stack = jnp.where(col, wt[j], stack)
+                ovf = jnp.where(push_j & (sp >= stack_depth), 1, ovf)
+                sp = jnp.where(push_j, jnp.minimum(sp + 1, stack_depth),
+                               sp)
+            return (stack, sp, ovf, descend.astype(i32), new_top)
+
+        (stack, sp, ovf, descend_i, new_top) = inner_phase(
+            (stack, sp, ovf))
+        descend = descend_i > 0
 
         leaf_cur = jnp.where(enter_leaf, fid, leaf_cur)
         leaf_rem = jnp.where(enter_leaf, top & 15, leaf_rem)
 
-        need_pop = (do_node & (n_hits == 0)) | leaf_exhausted
+        need_pop = (do_node & ~descend) | leaf_exhausted
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
         popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0,
