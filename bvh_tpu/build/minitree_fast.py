@@ -97,7 +97,7 @@ def build_minitree_fast(
     # One small readback ([g_cap] i32) sizes (G, P); order stays on
     # device (reading the [n] group vector back cost ~170 ms at 262K
     # over the tunnel).
-    order, counts, statics = staging_plan(centers, config)
+    order, counts, statics, config = staging_plan(centers, config)
     dev_fn = _device_build(*statics, config, interpret)
     return dev_fn(bb_min, bb_max, centers, order, counts)
 
@@ -156,23 +156,49 @@ def _device_build(n, dim, G, P, NCAP, g_cap, config: MiniTreeConfig,
         _device_build_raw(n, dim, G, P, NCAP, g_cap, config, interpret))
 
 
+def auto_grid_config(config: MiniTreeConfig, n: int,
+                     dim: int) -> MiniTreeConfig:
+    """Raise log2_grid_dim so MEAN bin occupancy stays <= 512.
+
+    The group kernel's per-block working set scales with the fullest
+    bin (P); the reference's fixed 16^dim grid hands any-size bins to
+    CPU tasks (mini_tree_builder.h:169-187), but a Pallas block
+    register-spills past P ~ a few thousand (measured: 1.12 GB of
+    spill slots at P=5632, 10M prims). Same semantics, finer tiles —
+    below ~2M prims the reference default is returned unchanged.
+    Every consumer of a staging plan must use the SAME adjusted config
+    for the device program (binning must match the plan)."""
+    ld = config.log2_grid_dim
+    while n > (1 << (ld * dim)) * 512 and ld * dim < 30:
+        ld += 1
+    if ld != config.log2_grid_dim:
+        import dataclasses
+
+        config = dataclasses.replace(config, log2_grid_dim=ld)
+    return config
+
+
 def staging_plan(centers, config: MiniTreeConfig | None = None):
-    """Host staging alone: returns (order, counts_dev, statics) where
-    statics = (n, dim, G, P, NCAP, g_cap). Callers composing the device
-    program into larger jitted chains (tools/bench_build.py) run this
-    once, then trace `_device_build_raw(*statics, config, interpret)`
-    inside their own jit."""
+    """Host staging alone: returns (order, counts_dev, statics, config)
+    where statics = (n, dim, G, P, NCAP, g_cap) and config is the
+    (possibly grid-adjusted, see auto_grid_config) config the device
+    program MUST be traced with. Callers composing the device program
+    into larger jitted chains (tools/bench_build.py) run this once,
+    then trace `_device_build_raw(*statics, config, interpret)` inside
+    their own jit."""
     if config is None:
         config = MiniTreeConfig()
     centers = jnp.asarray(centers, jnp.float32)
     n, dim = centers.shape
+    config = auto_grid_config(config, n, dim)
     g_cap = min(1 << (config.log2_grid_dim * dim), n)
     counts_all_dev, order = _staging_fn(config, g_cap)(centers)
     counts_all = np.asarray(counts_all_dev)
     counts = counts_all[counts_all > 0]
     G = len(counts)
     P = int(max(128, ((counts.max() + 127) // 128) * 128))
-    return order, jnp.asarray(counts), (n, dim, G, P, 2 * P, g_cap)
+    return (order, jnp.asarray(counts), (n, dim, G, P, 2 * P, g_cap),
+            config)
 
 
 def _assemble(nbf, nbi, src, cnt, order, base, flat_q, off_q, n, dim,

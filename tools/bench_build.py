@@ -99,7 +99,7 @@ def main():
                 ReinsertionConfig, optimize_reinsertion)
 
             cfg = MiniTreeConfig()
-            order, counts, statics = staging_plan(centers, cfg)
+            order, counts, statics, cfg = staging_plan(centers, cfg)
             raw = _device_build_raw(*statics, cfg, False)
             K = args.chain
 
@@ -118,7 +118,9 @@ def main():
 
                 return run
 
-            tiers = [("mtf chain", raw)]
+            tiers = [("mtf chain", raw),
+                     ("lbvh chain",
+                      lambda a, b, c, order, counts: build_lbvh(a, b, c))]
             if args.high:
                 rcfg = ReinsertionConfig()
                 tiers.append(("high chain", lambda *a: optimize_reinsertion(
