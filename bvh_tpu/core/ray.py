@@ -51,8 +51,11 @@ class Ray(NamedTuple):
     def get_octant(self):
         """Per-axis direction sign bits as a [..., dim] int32 0/1 array
         (reference: ray.h:36-43 packs these into a bitset; an unpacked
-        array vectorizes better on the VPU)."""
-        return jnp.signbit(self.dir).astype(jnp.int32)
+        array vectorizes better on the VPU). Uses the bitcast-free
+        signbit so f64 rays compile on XLA:TPU (utils.signbit)."""
+        from bvh_tpu.core.utils import signbit
+
+        return signbit(self.dir).astype(jnp.int32)
 
     @staticmethod
     def pad_inv_dir(inv_dir):

@@ -57,6 +57,21 @@ def add_ulp_magnitude(x, ulps: int):
     return jnp.where(jnp.isfinite(x), bumped, x)
 
 
+def signbit(x):
+    """jnp.signbit, with a bitcast-free float64 path.
+
+    XLA:TPU's x64-rewriting pass has no f64->s64 bitcast lowering, so
+    jnp.signbit / jnp.copysign on f64 fail to compile there. The sign
+    of a nonzero value comes from comparison; the sign of +-0.0 from
+    the sign of 1/x (+-inf). NaN reports False (octant of a NaN
+    direction is unspecified, as in the reference)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        return jnp.where(x != 0, x < 0,
+                         (jnp.asarray(1.0, x.dtype) / x) < 0)
+    return jnp.signbit(x)
+
+
 def safe_inverse(x):
     """Inverse that never returns inf: values with |x| <= eps map to
     +-max_float with the sign of x (reference: utils.h:58-63)."""
@@ -65,7 +80,7 @@ def safe_inverse(x):
     big = jnp.asarray(finfo.max, x.dtype)
     return jnp.where(
         jnp.abs(x) <= jnp.asarray(finfo.eps, x.dtype),
-        jnp.copysign(big, x),
+        jnp.where(signbit(x), -big, big),
         jnp.asarray(1.0, x.dtype) / x,
     )
 
