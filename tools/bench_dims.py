@@ -104,8 +104,9 @@ def main():
     rng = np.random.default_rng(7)
     m = args.m
     pts = rng.uniform(-1, 1, (m, 3))
-    ext = rng.uniform(0.005, 0.05, (m, 3))
-    tris = np.stack([pts - ext, pts, pts + ext], axis=1)
+    e1 = rng.uniform(-0.08, 0.08, (m, 3))
+    e2 = rng.uniform(-0.08, 0.08, (m, 3))
+    tris = np.stack([pts, pts + e1, pts + e2], axis=1)
     tri = Tri(*(jnp.asarray(tris[:, i], jnp.float64) for i in range(3)))
     mn, mx = tri.get_bbox()
     bvh = build_binned(mn, mx, tri.get_center())
