@@ -185,11 +185,11 @@ def main():
           f"total pairs {cnt_np.sum()}", flush=True)
 
     # ---- padded-block overhead of the wide kernel ---------------------
-    def empty_phase_b(btid, data, blk):
+    def empty_phase_b(btid, data, table, blk):
         nbl = btid.shape[0]
         bstart = jnp.zeros((nbl,), i32)
         berel = jnp.zeros((nbl,), i32)
-        return wt._phase_b(btid, bstart, berel, tl.table, data,
+        return wt._phase_b(btid, bstart, berel, table, data,
                            block=blk, any_hit=False, robust=False,
                            stack_depth=caps["stack_depth"],
                            interpret=False)
@@ -201,21 +201,29 @@ def main():
         btid_same = jnp.zeros((nbl,), i32)
         btid_dist = (jnp.arange(nbl, dtype=i32) * 131) % T
 
+        # NB: the treelet table must be a jit ARGUMENT — closed over, it
+        # is embedded as an HLO literal (1.1 GB at SM scale) and the
+        # tunneled compile request dies with HTTP 413.
         @jax.jit
-        def x4(btid, data):
+        def x4(btid, data, table):
             def body(i, c):
-                out = empty_phase_b(btid, data, blk)
+                out = empty_phase_b(btid, data, table, blk)
                 return c + out[0, 0] * 0
 
             return jax.lax.fori_loop(0, 4, body, jnp.zeros(()))
 
-        t_same = bench(f"empty kernel {tag}: {nbl} blocks, 1 tid",
-                       x4, btid_same, data0)
-        t_dist = bench(f"empty kernel {tag}: {nbl} blocks, distinct tids",
-                       x4, btid_dist, data0)
-        print(f"  per-block overhead ({tag}): same-tid "
-              f"{t_same / nbl * 1e3:.2f} us, distinct "
-              f"{t_dist / nbl * 1e3:.2f} us", flush=True)
+        try:
+            t_same = bench(f"empty kernel {tag}: {nbl} blocks, 1 tid",
+                           x4, btid_same, data0, tl.table)
+            t_dist = bench(
+                f"empty kernel {tag}: {nbl} blocks, distinct tids",
+                x4, btid_dist, data0, tl.table)
+            print(f"  per-block overhead ({tag}): same-tid "
+                  f"{t_same / nbl * 1e3:.2f} us, distinct "
+                  f"{t_dist / nbl * 1e3:.2f} us", flush=True)
+        except Exception as e:  # stage is diagnostic-only; keep going
+            print(f"  empty-kernel stage ({tag}) failed: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
 
     # ---- round glue sorts at SM widths ---------------------------------
     rng = np.random.default_rng(0)
