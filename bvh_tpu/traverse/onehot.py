@@ -57,6 +57,32 @@ def split_bf16x3(table):
     return hi, mid, lo
 
 
+def make_onehot_fetch_packed(table, B):
+    """Return fetch(idx) over a PRE-PACKED bf16 table [rows, P] whose
+    values are half-scaled (see wide_treelet.pack_kernel_table):
+    one DEFAULT-precision bf16 MXU pass per fetch, output doubled
+    (exact for all bf16 values: doubling only bumps the exponent).
+
+    This is the single-pass successor of the 3x-bf16 split fetch
+    below: instead of splitting f32 rows at fetch time (3 passes over
+    the same columns), the table is stored already split — exact
+    3-way-split rows for triangle data, byte-split rows for packed
+    integer words, and conservatively-rounded single bf16 rows for
+    node bounds (widening a box never loses a hit, bvh.h:124-182 —
+    the leaf tests that decide results stay bit-exact)."""
+    P = table.shape[1]
+
+    def fetch(idx):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (P, B), 0)
+        oh = (iota == idx).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            table, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return d + d  # undo the half-scale (exact)
+
+    return fetch
+
+
 def make_onehot_fetch(table, B):
     """Return fetch(idx): a bit-exact column gather of `table` [rows, P]
     at per-lane indices idx [1, B] -> [rows, B] f32.

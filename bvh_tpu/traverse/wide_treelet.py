@@ -56,6 +56,17 @@ from bvh_tpu.traverse.wavefront import Hit, TraversalStats
 WIDTH = 8
 QUAD = 4  # prims per leaf column
 ROWS = 64  # combined table rows: 8*6 bounds + 8 words | 4*13 tri rows
+# kernel-table rows (pack_kernel_table): the fused bf16 layout the
+# traversal kernel actually fetches — node columns use rows 0-71
+# (48 conservatively-rounded bounds + 8 words x 3 bytes), quad columns
+# all 156 (4 quads x (12 tri values x 3 exact bf16 splits + 3 gpos
+# bytes)). The normal is FETCHED, not recomputed: the table's
+# precomputed n = cross(e1, e2) (tri.h:29-45) carries the host/XLA
+# FMA-contraction rounding, while Mosaic lowers mul-sub with separate
+# rounding — recomputing flipped ~3 ppm of boundary hits vs the C++
+# oracle (measured; Pallas matched separate-round 8192/8192 in a
+# direct probe while 35% of cross components differ by 1 ulp).
+KROWS = 156
 
 
 class WideTreelets(NamedTuple):
@@ -546,6 +557,122 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
 
 
 # ------------------------------------------------------------- kernel
+def _bf16_round_dir(x, up):
+    """Round f32 `x` to bf16 toward +inf (`up`) or -inf (directed
+    rounding; exactly-representable values pass through). Used for
+    conservative node bounds: lo bounds round down, hi bounds round
+    up, so every box only widens — a widened box can admit extra
+    traversal but never lose a true hit (slab-test semantics,
+    node.h:68-88).
+
+    Implemented entirely in integer bit arithmetic: the obvious
+    `convert(bf16(x)) > x` probe is simplified away by XLA:TPU (the
+    round-trip compare folds to an always-equal bf16 compare), which
+    silently degraded this to round-to-nearest and SHRANK half the
+    boxes (measured: 16629/2^20 lost sponza hits). Truncating the low
+    16 mantissa bits rounds toward zero; adding 1 when any were lost
+    steps the magnitude outward. FLT_MAX sentinels may round to
+    +-2^127 or +-inf — after the fetch's doubling both behave as the
+    exact empty-slot sentinel (t0 = +inf / t1 = -inf in the slab
+    test)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    inexact = (u & jnp.uint32(0xFFFF)) != 0
+    if up:
+        step = inexact & (u < jnp.uint32(0x80000000))   # positive
+    else:
+        step = inexact & (u >= jnp.uint32(0x80000000))  # negative
+    b16 = ((u >> 16) + jnp.where(step, 1, 0).astype(jnp.uint32))
+    return jax.lax.bitcast_convert_type(
+        b16.astype(jnp.uint16), jnp.bfloat16)
+
+
+def _bf16_rne_bits(x):
+    """Round f32 `x` to bf16 with round-to-nearest-even, computed in
+    integer bit arithmetic, returning (bf16 value, exact f32 of that
+    value). The float identity x.astype(bf16).astype(f32) CANNOT be
+    used for the exact-split residuals here: under XLA:TPU the
+    `x - convert(convert(x, bf16), f32)` pattern is algebraically
+    simplified and the residual collapses to zero, silently truncating
+    the packed triangle data to bf16 precision (measured: ~26K/2^20
+    sponza hits flipped to neighboring prims). Bit arithmetic leaves
+    nothing to fold."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    half = jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    b16 = ((u + half) >> 16).astype(jnp.uint16)
+    bval = jax.lax.bitcast_convert_type(b16, jnp.bfloat16)
+    bf32 = jax.lax.bitcast_convert_type(
+        b16.astype(jnp.uint32) << 16, jnp.float32)
+    return bval, bf32
+
+
+def _split3_bits(x):
+    """Exact 3-way bf16 split of f32 `x` (x == hi + mid + lo in f32),
+    via the integer RNE rounding above (see _bf16_rne_bits for why the
+    float-op form is unsafe outside Mosaic)."""
+    hi, hif = _bf16_rne_bits(x)
+    r = x - hif
+    mid, midf = _bf16_rne_bits(r)
+    lo, _ = _bf16_rne_bits(r - midf)
+    return hi, mid, lo
+
+
+def pack_kernel_table(table, n_wide):
+    """Pack the f32 combined table [T, 64, P] into the fused bf16
+    kernel table [T, KROWS, P] the traversal kernel fetches with ONE
+    bf16 MXU pass per iteration (make_onehot_fetch_packed) instead of
+    three (the 3x-bf16 split fetch) — the fetch is the dominant
+    per-iteration cost at San-Miguel-scale table widths (BENCHMARKS_r4
+    sweeps).
+
+    All values are HALF-scaled (so FLT_MAX empty-box sentinels stay
+    finite in bf16, as split_bf16x3 documents); the kernel's fetch
+    doubles its output, which is exact.
+
+    Node columns (col < n_wide[t]):
+      rows 0-47:  bounds, conservatively rounded (lo down, hi up) —
+                  boxes only widen, results stay exact (leaf tests are
+                  bit-exact); only the tie winner among exactly-equal
+                  hits can shift, within the documented one-tie budget.
+      rows 48-71: packed child words split into 3 exact byte rows
+                  (b0 rows 48-55, b1 56-63, b2 64-71; every value
+                  <= 255 and byte/2 is bf16-exact).
+    Quad columns, per quad j at base = 39*j:
+      rows base+0..35:  p0|e1|e2|n (12 values) split hi/mid/lo — the
+                        exact 3-way bf16 split (onehot.split_bf16x3);
+                        12 hi rows, then 12 mid, then 12 lo. The
+                        normal rides along so the leaf test reproduces
+                        the reference's PrecomputedTri arithmetic
+                        bit-for-bit (tri.h:56-74).
+      rows base+36..38: bytes of (gpos + 1)  (0 = padding slot).
+    """
+    f32, bf16, i32 = jnp.float32, jnp.bfloat16, jnp.int32
+    T, _, P = table.shape
+    half = table * jnp.asarray(0.5, f32)
+    # node layout
+    b2 = half[:, :48].reshape(T, 24, 2, P)
+    lo = _bf16_round_dir(b2[:, :, 0], up=False)
+    hi = _bf16_round_dir(b2[:, :, 1], up=True)
+    bnd = jnp.stack([lo, hi], axis=2).reshape(T, 48, P)
+    w = table[:, 48:56].astype(i32)  # f32-encoded ints, exact
+    wb = jnp.concatenate([w & 255, (w >> 8) & 255, w >> 16], axis=1)
+    wb = (wb.astype(f32) * 0.5).astype(bf16)
+    node = jnp.concatenate(
+        [bnd, wb, jnp.zeros((T, KROWS - 72, P), bf16)], axis=1)
+    # quad layout
+    q = half[:, :52].reshape(T, QUAD, 13, P)
+    c = q[:, :, 0:12]
+    chi, cmid, clo = _split3_bits(c)
+    g = (table[:, :52].reshape(T, QUAD, 13, P)[:, :, 12]
+         .astype(i32) + 1)                                # [T, 4, P]
+    gb = jnp.stack([g & 255, (g >> 8) & 255, g >> 16], axis=2)
+    gb = (gb.astype(f32) * 0.5).astype(bf16)              # [T, 4, 3, P]
+    quad = jnp.concatenate([chi, cmid, clo, gb], axis=2)
+    quad = quad.reshape(T, KROWS, P)
+    is_node = (jax.lax.broadcasted_iota(i32, (T, 1, P), 2)
+               < n_wide.reshape(T, 1, 1).astype(i32))
+    return jnp.where(is_node, node, quad)
+
+
 def _sort8(keys, words):
     """Batcher odd-even merge sort of 8 rows by key: [8, B] each."""
     pairs = [(0, 1), (2, 3), (4, 5), (6, 7),
@@ -597,9 +724,9 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
     inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
     neg = jnp.signbit(dir_)
 
-    from bvh_tpu.traverse.onehot import make_onehot_fetch
+    from bvh_tpu.traverse.onehot import make_onehot_fetch_packed
 
-    fetch = make_onehot_fetch(table, B)
+    fetch = make_onehot_fetch_packed(table, B)
 
     inf_row = jnp.full((1, B), jnp.inf, f32)
 
@@ -644,11 +771,20 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
             (best_t, tmax, best_u, best_v, best_pos) = args
             done_by_hit = jnp.zeros((1, B), i32)
             for j in range(QUAD):
-                p0 = row[j * 13: j * 13 + 3]
-                e1 = row[j * 13 + 3: j * 13 + 6]
-                e2 = row[j * 13 + 6: j * 13 + 9]
-                nrm = row[j * 13 + 9: j * 13 + 12]
-                gpos = row[j * 13 + 12: j * 13 + 13].astype(i32)
+                base = j * 39
+                # exact f32 reconstruction: the three split rows occupy
+                # disjoint mantissa windows, so the sums are exact
+                coords = (row[base: base + 12]
+                          + row[base + 12: base + 24]
+                          + row[base + 24: base + 36])
+                p0 = coords[0:3]
+                e1 = coords[3:6]
+                e2 = coords[6:9]
+                nrm = coords[9:12]
+                gpos = (row[base + 36: base + 37]
+                        + 256.0 * row[base + 37: base + 38]
+                        + 65536.0 * row[base + 38: base + 39]
+                        ).astype(i32) - 1
                 cvec = p0 - org
                 rvec = jnp.concatenate(
                     [dir_[1:2] * cvec[2:3] - dir_[2:3] * cvec[1:2],
@@ -719,7 +855,9 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
                 hits.append((t0 <= t1).astype(i32))
             t0v = jnp.concatenate(t0s, axis=0)       # [8, B]
             hitm = jnp.concatenate(hits, axis=0) > 0
-            words = row[48:56].astype(i32)
+            # exact byte recombination (every term < 2^24 fits f32)
+            words = (row[48:56] + 256.0 * row[56:64]
+                     + 65536.0 * row[64:72]).astype(i32)
             if any_hit:
                 # slot order (SATO: slots area-descending by collapse)
                 # int iota then cast: Mosaic's tpu.iota is integer-only
@@ -869,7 +1007,7 @@ def _phase_b(btid, bstart, berel, table, data, *, block, any_hit, robust,
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
-                pl.BlockSpec((1, ROWS, table.shape[2]),
+                pl.BlockSpec((1, table.shape[1], table.shape[2]),
                              lambda i, tid: (tid[i], 0, 0)),
                 pl.BlockSpec((16, block), lambda i, tid: (0, i)),
             ],
@@ -887,7 +1025,7 @@ def _phase_b(btid, bstart, berel, table, data, *, block, any_hit, robust,
         num_scalar_prefetch=4,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, ROWS, table.shape[2]),
+            pl.BlockSpec((1, table.shape[1], table.shape[2]),
                          lambda i, tid, st, of, er: (tid[i], 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
@@ -1832,6 +1970,11 @@ def wide_treelet_intersect_tris(
 
     import sys as _sys
 
+    # fused bf16 kernel table, packed once (auto-cap retries recompile
+    # the render but reuse the packed table)
+    ktab = jax.jit(pack_kernel_table)(
+        tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+
     for attempt in range(8):
         tb_a, fetch_chunk = phase_a_plan(
             tl.top_node_t.shape[1], top_block, top_stack=top_stack,
@@ -1852,7 +1995,7 @@ def wide_treelet_intersect_tris(
 
         (bt, bu, bv, pos_f, pcnt, rounds, iters, lanes, ovf,
          povf) = _render_jit(
-            tl.top_node_t, tl.table, packed, tl.sup_table,
+            tl.top_node_t, ktab, packed, tl.sup_table,
             top_root=tl.top_root, any_hit=any_hit, robust=robust,
             block=block, tail_block=tail_block, top_block=tb_a,
             top_stack=top_stack, stack_depth=caps["stack_depth"],
@@ -1994,6 +2137,10 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
         tail_cap=kw.get("tail_cap"), fetch_chunk=fetch_chunk)
 
+    # pack the fused bf16 kernel table once, outside the chain jit
+    ktab = jax.jit(pack_kernel_table)(
+        tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+
     @jax.jit
     def run(top_node_t, table, sup_table, packed):
         def body(i, c):
@@ -2004,4 +2151,4 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         bt = inner(top_node_t, table, out, sup_table)[0]
         return bt
 
-    return lambda: run(tl.top_node_t, tl.table, tl.sup_table, packed)
+    return lambda: run(tl.top_node_t, ktab, tl.sup_table, packed)

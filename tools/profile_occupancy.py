@@ -39,6 +39,8 @@ def main():
     R = side * side
     tl = wt.build_wide_treelets(bvh, flat, max_prims=1024)
     T = tl.table.shape[0]
+    ktab = jax.jit(wt.pack_kernel_table)(
+        tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
     block, top_block, MP, K = 1024, 8192, 32, 4
     Rp = wt._round_up(R, wt._lcm(block, top_block))
     Rc = Rp // 8
@@ -147,7 +149,7 @@ def main():
                            robust=False, stack_depth=24,
                            interpret=False))(
         jnp.asarray(tid_of_block, i32), jnp.asarray(start_b, i32),
-        jnp.asarray(erel_b, i32), tl.table, jnp.asarray(dataS_full))
+        jnp.asarray(erel_b, i32), ktab, jnp.asarray(dataS_full))
     fout = np.asarray(fout)
     print(f"kernel pass: {time.perf_counter()-t0:.1f} s", flush=True)
 

@@ -57,6 +57,8 @@ def main():
     packed[7, :R] = np.asarray(rays.tmax)
     packed = jnp.asarray(packed)
 
+    ktab = jax.jit(wt.pack_kernel_table)(
+        tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
     inner = partial(
         wt._render_jit, top_root=tl.top_root, any_hit=False, robust=False,
         block=block,
@@ -80,11 +82,11 @@ def main():
         return inner(top_node_t, table, packed)[0]
 
     for name, fn in (("render x1", render1), ("render x4", render4)):
-        sync(fn(tl.top_node_t, tl.table, packed))
+        sync(fn(tl.top_node_t, ktab, packed))
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            sync(fn(tl.top_node_t, tl.table, packed))
+            sync(fn(tl.top_node_t, ktab, packed))
             ts.append(time.perf_counter() - t0)
         ts.sort()
         print(f"{name}: median {ts[2]*1e3:.1f} ms  min {ts[0]*1e3:.1f} ms",

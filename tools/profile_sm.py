@@ -69,6 +69,9 @@ def main():
         n_wide=z["n_wide"], top_depth=int(z["top_depth"]),
         wide_depth=int(z["wide_depth"]),
         sup_table=jnp.asarray(z["sup_table"]), sup_depth=int(z["sup_depth"]))
+    import jax as _jax
+    ktab = _jax.jit(wt.pack_kernel_table)(
+        tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
     T, ROWS, P = tl.table.shape
     S = tl.sup_table.shape[0]
     K = args.k
@@ -214,10 +217,10 @@ def main():
 
         try:
             t_same = bench(f"empty kernel {tag}: {nbl} blocks, 1 tid",
-                           x4, btid_same, data0, tl.table)
+                           x4, btid_same, data0, ktab)
             t_dist = bench(
                 f"empty kernel {tag}: {nbl} blocks, distinct tids",
-                x4, btid_dist, data0, tl.table)
+                x4, btid_dist, data0, ktab)
             print(f"  per-block overhead ({tag}): same-tid "
                   f"{t_same / nbl * 1e3:.2f} us, distinct "
                   f"{t_dist / nbl * 1e3:.2f} us", flush=True)
@@ -313,14 +316,14 @@ def main():
             return r[0], r[5], r[6], r[7]
 
         t0 = time.perf_counter()
-        out = run(tl.top_node_t, tl.table, tl.sup_table, packed)
+        out = run(tl.top_node_t, ktab, tl.sup_table, packed)
         sync(out)
         print(f"render max_rounds={M}: compile+run "
               f"{time.perf_counter()-t0:.1f} s", flush=True)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = run(tl.top_node_t, tl.table, tl.sup_table, packed)
+            out = run(tl.top_node_t, ktab, tl.sup_table, packed)
             sync(out)
             ts.append(time.perf_counter() - t0)
         t = sorted(ts)[1] * 1e3
