@@ -67,6 +67,11 @@ ROWS = 64  # combined table rows: 8*6 bounds + 8 words | 4*13 tri rows
 # oracle (measured; Pallas matched separate-round 8192/8192 in a
 # direct probe while 35% of cross components differ by 1 ulp).
 KROWS = 156
+# minimum table width (columns) at which the drivers switch from the
+# raw 64-row f32 table + 3x-split fetch to the packed single-pass
+# table: at P=384 (sponza) the raw path measured 91.7 vs 88.4 Mrays/s;
+# at P=1280 (San-Miguel) the fetch dominates and the packed table wins.
+PACK_MIN_P = 512
 
 
 class WideTreelets(NamedTuple):
@@ -724,9 +729,21 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
     inv_pad = jnp.where(jnp.isfinite(inv_dir), padded, inv_dir)
     neg = jnp.signbit(dir_)
 
-    from bvh_tpu.traverse.onehot import make_onehot_fetch_packed
+    # dual table layout: the raw 64-row f32 table rides the bit-exact
+    # 3x-bf16 split fetch (cheaper at narrow P where the fetch is not
+    # dominant — sponza P=384 measured 91.7 vs 88.4 Mrays/s); the
+    # 156-row pre-packed bf16 table (pack_kernel_table) fetches in ONE
+    # MXU pass and wins at San-Miguel-scale widths where the fetch
+    # dominates the iteration.
+    packed_layout = table.shape[0] == KROWS
+    if packed_layout:
+        from bvh_tpu.traverse.onehot import make_onehot_fetch_packed
 
-    fetch = make_onehot_fetch_packed(table, B)
+        fetch = make_onehot_fetch_packed(table, B)
+    else:
+        from bvh_tpu.traverse.onehot import make_onehot_fetch
+
+        fetch = make_onehot_fetch(table, B)
 
     inf_row = jnp.full((1, B), jnp.inf, f32)
 
@@ -771,20 +788,27 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
             (best_t, tmax, best_u, best_v, best_pos) = args
             done_by_hit = jnp.zeros((1, B), i32)
             for j in range(QUAD):
-                base = j * 39
-                # exact f32 reconstruction: the three split rows occupy
-                # disjoint mantissa windows, so the sums are exact
-                coords = (row[base: base + 12]
-                          + row[base + 12: base + 24]
-                          + row[base + 24: base + 36])
-                p0 = coords[0:3]
-                e1 = coords[3:6]
-                e2 = coords[6:9]
-                nrm = coords[9:12]
-                gpos = (row[base + 36: base + 37]
-                        + 256.0 * row[base + 37: base + 38]
-                        + 65536.0 * row[base + 38: base + 39]
-                        ).astype(i32) - 1
+                if packed_layout:
+                    base = j * 39
+                    # exact f32 reconstruction: the three split rows
+                    # occupy disjoint mantissa windows, sums are exact
+                    coords = (row[base: base + 12]
+                              + row[base + 12: base + 24]
+                              + row[base + 24: base + 36])
+                    p0 = coords[0:3]
+                    e1 = coords[3:6]
+                    e2 = coords[6:9]
+                    nrm = coords[9:12]
+                    gpos = (row[base + 36: base + 37]
+                            + 256.0 * row[base + 37: base + 38]
+                            + 65536.0 * row[base + 38: base + 39]
+                            ).astype(i32) - 1
+                else:
+                    p0 = row[j * 13: j * 13 + 3]
+                    e1 = row[j * 13 + 3: j * 13 + 6]
+                    e2 = row[j * 13 + 6: j * 13 + 9]
+                    nrm = row[j * 13 + 9: j * 13 + 12]
+                    gpos = row[j * 13 + 12: j * 13 + 13].astype(i32)
                 cvec = p0 - org
                 rvec = jnp.concatenate(
                     [dir_[1:2] * cvec[2:3] - dir_[2:3] * cvec[1:2],
@@ -855,9 +879,12 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
                 hits.append((t0 <= t1).astype(i32))
             t0v = jnp.concatenate(t0s, axis=0)       # [8, B]
             hitm = jnp.concatenate(hits, axis=0) > 0
-            # exact byte recombination (every term < 2^24 fits f32)
-            words = (row[48:56] + 256.0 * row[56:64]
-                     + 65536.0 * row[64:72]).astype(i32)
+            if packed_layout:
+                # exact byte recombination (every term < 2^24 fits f32)
+                words = (row[48:56] + 256.0 * row[56:64]
+                         + 65536.0 * row[64:72]).astype(i32)
+            else:
+                words = row[48:56].astype(i32)
             if any_hit:
                 # slot order (SATO: slots area-descending by collapse)
                 # int iota then cast: Mosaic's tpu.iota is integer-only
@@ -1971,9 +1998,13 @@ def wide_treelet_intersect_tris(
     import sys as _sys
 
     # fused bf16 kernel table, packed once (auto-cap retries recompile
-    # the render but reuse the packed table)
-    ktab = jax.jit(pack_kernel_table)(
-        tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+    # the render but reuse the packed table); narrow tables keep the
+    # raw layout + 3x-split fetch (see _traverse_core's dual-path note)
+    if tl.table.shape[2] >= PACK_MIN_P:
+        ktab = jax.jit(pack_kernel_table)(
+            tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+    else:
+        ktab = tl.table
 
     for attempt in range(8):
         tb_a, fetch_chunk = phase_a_plan(
@@ -2138,8 +2169,12 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         tail_cap=kw.get("tail_cap"), fetch_chunk=fetch_chunk)
 
     # pack the fused bf16 kernel table once, outside the chain jit
-    ktab = jax.jit(pack_kernel_table)(
-        tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+    # (narrow tables keep the raw layout, as in the non-chain driver)
+    if tl.table.shape[2] >= PACK_MIN_P:
+        ktab = jax.jit(pack_kernel_table)(
+            tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+    else:
+        ktab = tl.table
 
     @jax.jit
     def run(top_node_t, table, sup_table, packed):

@@ -57,8 +57,9 @@ def main():
     packed[7, :R] = np.asarray(rays.tmax)
     packed = jnp.asarray(packed)
 
-    ktab = jax.jit(wt.pack_kernel_table)(
+    ktab = (jax.jit(wt.pack_kernel_table)(
         tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+        if tl.table.shape[2] >= wt.PACK_MIN_P else tl.table)
     inner = partial(
         wt._render_jit, top_root=tl.top_root, any_hit=False, robust=False,
         block=block,

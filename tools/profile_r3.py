@@ -66,8 +66,9 @@ def main():
     rays = primary_rays(eye, d, up, side, side)
     R = side * side
     tl = wt.build_wide_treelets(bvh, flat, max_prims=1024)
-    table = jax.jit(wt.pack_kernel_table)(
+    table = (jax.jit(wt.pack_kernel_table)(
         tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+        if tl.table.shape[2] >= wt.PACK_MIN_P else tl.table)
     T, ROWS, P = table.shape
     block, top_block, MP, K = 1024, 8192, 32, 4
     Rp = wt._round_up(R, wt._lcm(block, top_block))

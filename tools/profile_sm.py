@@ -70,8 +70,9 @@ def main():
         wide_depth=int(z["wide_depth"]),
         sup_table=jnp.asarray(z["sup_table"]), sup_depth=int(z["sup_depth"]))
     import jax as _jax
-    ktab = _jax.jit(wt.pack_kernel_table)(
+    ktab = (_jax.jit(wt.pack_kernel_table)(
         tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
+        if tl.table.shape[2] >= wt.PACK_MIN_P else tl.table)
     T, ROWS, P = tl.table.shape
     S = tl.sup_table.shape[0]
     K = args.k
