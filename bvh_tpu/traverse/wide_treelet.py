@@ -1930,6 +1930,23 @@ def wide_treelet_caps(tl: WideTreelets, portals_per_round: int = 4) -> dict:
                 mps=mps, max_new=max_new)
 
 
+def wide_treelet_perf(tl: WideTreelets) -> dict:
+    """Scale-aware PERFORMANCE defaults (round-4 hardware A/Bs,
+    BENCHMARKS_r4.txt §San-Miguel): at San-Miguel scale (T in the
+    thousands) expanding 16 portals per selected ray per round and
+    letting the tail tier hold sel_cap/4 rays cuts the render from 54
+    rounds / 758K block iterations to 3 / 381K (occupancy 0.17 ->
+    0.46); at sponza scale (T~500, 7 rounds total) k=4 with the
+    standard sel_cap/8 tail measured best.  Unlike wide_treelet_caps
+    these are throughput knobs, not capacities — a wrong pick is slow,
+    never incorrect (the reference has no analogue: its recursive
+    traversal has no round structure, bvh.h:124-182)."""
+    T = int(tl.table.shape[0])
+    if T >= 2048:
+        return dict(portals_per_round=16, tail_div=4)
+    return dict(portals_per_round=4, tail_div=8)
+
+
 def wide_treelet_intersect_tris(
     tl: WideTreelets,
     rays: Ray,
@@ -1945,7 +1962,7 @@ def wide_treelet_intersect_tris(
     max_portals: int | None = None,
     max_rounds: int | None = None,
     sel_cap: int | None = None,
-    portals_per_round: int = 4,
+    portals_per_round: int | None = None,
     max_new: int | None = None,
     k2: int = 2,
     mps: int | None = None,
@@ -1984,6 +2001,9 @@ def wide_treelet_intersect_tris(
         top_stack = tl.top_depth + 1
     if stack_depth is None:
         stack_depth = 7 * tl.wide_depth + 8
+    perf = wide_treelet_perf(tl)
+    if portals_per_round is None:
+        portals_per_round = perf["portals_per_round"]
     auto = wide_treelet_caps(tl, portals_per_round)
     caps = dict(
         max_portals=max_portals if max_portals is not None
@@ -2015,6 +2035,11 @@ def wide_treelet_intersect_tris(
         if sel is None:
             sel = max(block, _round_up(Rp // 4, block))
         sel = min(_round_up(sel, block), Rp)
+        if tail_cap is None:
+            # _render's own default is sel//8; at scale the measured
+            # winner is sel//4 (wide_treelet_perf) — derive it here
+            # where T is known.  Stable across auto-cap retries.
+            tail_cap = max(tail_block, sel // perf["tail_div"])
         packed = jnp.zeros((8, Rp), jnp.float32)
         packed = packed.at[0:3, :R].set(rays.org.T)
         packed = packed.at[3:6, :R].set(rays.dir.T)
@@ -2130,7 +2155,9 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
     """
     from functools import partial
 
-    auto = wide_treelet_caps(tl, kw.get("portals_per_round", 4))
+    perf = wide_treelet_perf(tl)
+    ppr = kw.get("portals_per_round") or perf["portals_per_round"]
+    auto = wide_treelet_caps(tl, ppr)
     block = kw.get("block", 1024)
     top_block = kw.get("top_block", 8192)
     max_portals = kw.get("max_portals") or auto["max_portals"]
@@ -2161,12 +2188,14 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         max_portals=max_portals,
         max_rounds=kw.get("max_rounds") or auto["max_rounds"],
         sel_cap=sel_cap,
-        portals_per_round=kw.get("portals_per_round", 4), interpret=False,
+        portals_per_round=ppr, interpret=False,
         sup_stack=tl.sup_depth + 1,
         max_new=kw.get("max_new") or auto["max_new"],
         k2=kw.get("k2", 2), mps=kw.get("mps") or auto["mps"],
         a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
-        tail_cap=kw.get("tail_cap"), fetch_chunk=fetch_chunk)
+        tail_cap=kw.get("tail_cap")
+        or max(kw.get("tail_block", 256), sel_cap // perf["tail_div"]),
+        fetch_chunk=fetch_chunk)
 
     # pack the fused bf16 kernel table once, outside the chain jit
     # (narrow tables keep the raw layout, as in the non-chain driver)

@@ -19,7 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000_000)
     ap.add_argument("--rays", type=int, default=1024)
-    ap.add_argument("--max-prims", type=int, default=1024)
+    ap.add_argument("--max-prims", type=int, default=0,
+                    help="0 = scale-derived (4096 at >=2M prims: the "
+                         "round-4 A/B showed the wider fetch beats "
+                         "more rounds at San-Miguel scale; 1024 below)")
     ap.add_argument("--super-prims", type=int, default=0)
     ap.add_argument("--flat", action="store_true",
                     help="disable the super level (round-2 flat config)")
@@ -31,9 +34,11 @@ def main():
     ap.add_argument("--max-portals", type=int, default=0)
     ap.add_argument("--mps", type=int, default=0)
     ap.add_argument("--max-new", type=int, default=0)
-    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--k", type=int, default=0,
+                    help="portals per selected ray per round; 0 = "
+                         "library default (wide_treelet_perf)")
     ap.add_argument("--rc-div", type=int, default=8)
-    ap.add_argument("--max-runs", type=int, default=2048)
+    ap.add_argument("--max-runs", type=int, default=4096)
     ap.add_argument("--max-rounds", type=int, default=0)
     ap.add_argument("--tail-cap", type=int, default=0)
     ap.add_argument("--chain", type=int, default=4)
@@ -55,6 +60,9 @@ def main():
         wide_treelet_intersect_tris, wide_treelet_render_chain)
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
+    if args.max_prims == 0:
+        args.max_prims = 4096 if args.n >= 2_000_000 else 1024
+        print(f"max_prims auto -> {args.max_prims}", flush=True)
     tris = sponza_class(args.n, seed=0)
     cache = f"/tmp/bench_{args.builder}_{args.n}.bvh"
     if not os.path.exists(cache):
@@ -132,7 +140,7 @@ def main():
               top_block=args.top_block,
               max_portals=args.max_portals or None,
               max_rounds=args.max_rounds or None,
-              portals_per_round=args.k, sel_cap=Rp // args.rc_div,
+              portals_per_round=args.k or None, sel_cap=Rp // args.rc_div,
               mps=args.mps or None, max_new=args.max_new or None, k2=2,
               max_runs=args.max_runs,
               tail_cap=args.tail_cap or None)
