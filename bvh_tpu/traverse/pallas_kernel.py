@@ -9,9 +9,14 @@ This kernel runs the ENTIRE traversal loop on-chip in one launch:
   path or the wide layout);
 - node/triangle fetches are one-hot MXU matmuls at
   `Precision.HIGHEST`, which Mosaic executes exactly on f32 (verified
-  on hardware: zero-ULP gathers; bf16 multi-plane splits were tried and
-  are NOT exact under Mosaic, nor faster — the kernel is VPU-bound);
-  packed index words ride along as f32 columns (exact below 2^24,
+  on hardware: zero-ULP gathers). bf16 multi-plane splits ARE exact
+  when the FLT_MAX empty-slot sentinel is half-scaled first (the
+  round-1 "not exact" reading was that sentinel overflowing bf16 —
+  see traverse/onehot.py, round 4); they are just not FASTER here:
+  this kernel runs 8192-wide blocks over tiny tables and is VPU-bound
+  (~14 us/while-iteration), so cheaper dots don't move it, unlike the
+  fetch-bound wide-treelet kernel where the split fetch won +8-50%.
+  Packed index words ride along as f32 columns (exact below 2^24,
   enforced by PALLAS_MAX_NODES);
 - the per-ray short stack is addressed with one-hot masks (no dynamic
   per-lane indexing, which Mosaic cannot vectorize);

@@ -226,8 +226,22 @@ def _collapse_wide(bounds, first, count, roots, tids, terminal):
     return wide_tid, wide_local, slot_node, child_local, n_wide_acc, n_levels
 
 
+def wide_treelet_max_prims(n_prims: int) -> int:
+    """Scale-derived default treelet size (max_prims) for a scene of
+    `n_prims` primitives. One source of truth for the pre-build scale
+    heuristic: at San-Miguel scale the round-4 hardware A/B showed the
+    wider P=1280 fetch (max_prims=4096, T~3456) beats more rounds over
+    narrow tables (max_prims=1024, T~13363); at sponza scale P=384
+    measured best. The 2M threshold is the prim count at which
+    max_prims=4096 still yields T >= 2048 (the wide_treelet_perf
+    large-scale tier) — keep the two coupled: a scene above this
+    threshold lands in perf's T >= 2048 branch with the size this
+    function picks."""
+    return 4096 if n_prims >= 2_000_000 else 1024
+
+
 def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
-                        max_prims: int = 1024,
+                        max_prims: int | None = None,
                         leaf_prims: int = 16,
                         super_prims: int | None = None) -> WideTreelets:
     """Cut `bvh` into treelets of <= max_prims primitives and pack the
@@ -245,7 +259,11 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
     mid-region pair table per kernel block — keeping both the resident
     phase-A table and the per-block treelet tables at sponza-class
     sizes regardless of scene size. None = auto (enabled when the top
-    region exceeds 4096 nodes)."""
+    region exceeds 4096 nodes).
+
+    `max_prims`: None = scale-derived (wide_treelet_max_prims)."""
+    if max_prims is None:
+        max_prims = wide_treelet_max_prims(int(tri_flat.shape[0]))
     assert 1 <= leaf_prims <= 60
     import os as _os
     import time as _time
@@ -2026,6 +2044,7 @@ def wide_treelet_intersect_tris(
     else:
         ktab = tl.table
 
+    tail_cap_arg = tail_cap  # user-supplied (None = derive per attempt)
     for attempt in range(8):
         tb_a, fetch_chunk = phase_a_plan(
             tl.top_node_t.shape[1], top_block, top_stack=top_stack,
@@ -2035,11 +2054,15 @@ def wide_treelet_intersect_tris(
         if sel is None:
             sel = max(block, _round_up(Rp // 4, block))
         sel = min(_round_up(sel, block), Rp)
-        if tail_cap is None:
+        if tail_cap_arg is None:
             # _render's own default is sel//8; at scale the measured
             # winner is sel//4 (wide_treelet_perf) — derive it here
-            # where T is known.  Stable across auto-cap retries.
+            # where T is known.  Recomputed per attempt: an auto-cap
+            # retry that raises max_portals can change tb_a and hence
+            # Rp/sel, and the derived tail tier must track them.
             tail_cap = max(tail_block, sel // perf["tail_div"])
+        else:
+            tail_cap = tail_cap_arg
         packed = jnp.zeros((8, Rp), jnp.float32)
         packed = packed.at[0:3, :R].set(rays.org.T)
         packed = packed.at[3:6, :R].set(rays.dir.T)
@@ -2155,20 +2178,29 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
     """
     from functools import partial
 
+    def _kw(name, default):
+        """None-aware kw lookup (an explicit 0 is a value, matching
+        wide_treelet_intersect_tris's `is not None` convention)."""
+        v = kw.get(name)
+        return default if v is None else v
+
     perf = wide_treelet_perf(tl)
-    ppr = kw.get("portals_per_round") or perf["portals_per_round"]
+    ppr = _kw("portals_per_round", perf["portals_per_round"])
     auto = wide_treelet_caps(tl, ppr)
     block = kw.get("block", 1024)
     top_block = kw.get("top_block", 8192)
-    max_portals = kw.get("max_portals") or auto["max_portals"]
+    max_portals = _kw("max_portals", auto["max_portals"])
     top_block, fetch_chunk = phase_a_plan(
         tl.top_node_t.shape[1], top_block,
-        top_stack=kw.get("top_stack") or tl.top_depth + 1,
+        top_stack=_kw("top_stack", tl.top_depth + 1),
         max_portals=max_portals)
     R = rays.tmin.shape[0]
     Rp = _round_up(R, _lcm(block, top_block))
-    sel_cap = kw.get("sel_cap") or min(
-        max(block, _round_up(Rp // 4, block)), Rp)
+    # same normalization as the verified driver: block-rounded and
+    # Rp-clamped, so a chain measures exactly the tier the verified
+    # call validated (including the tail_cap derived from it)
+    sel_cap = _kw("sel_cap", max(block, _round_up(Rp // 4, block)))
+    sel_cap = min(_round_up(sel_cap, block), Rp)
     packed = jnp.zeros((8, Rp), jnp.float32)
     packed = packed.at[0:3, :R].set(rays.org.T)
     packed = packed.at[3:6, :R].set(rays.dir.T)
@@ -2183,18 +2215,18 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         any_hit=kw.get("any_hit", False), robust=kw.get("robust", False),
         block=block, tail_block=kw.get("tail_block", 256),
         top_block=top_block,
-        top_stack=kw.get("top_stack") or tl.top_depth + 1,
-        stack_depth=kw.get("stack_depth") or 7 * tl.wide_depth + 8,
+        top_stack=_kw("top_stack", tl.top_depth + 1),
+        stack_depth=_kw("stack_depth", 7 * tl.wide_depth + 8),
         max_portals=max_portals,
-        max_rounds=kw.get("max_rounds") or auto["max_rounds"],
+        max_rounds=_kw("max_rounds", auto["max_rounds"]),
         sel_cap=sel_cap,
         portals_per_round=ppr, interpret=False,
         sup_stack=tl.sup_depth + 1,
-        max_new=kw.get("max_new") or auto["max_new"],
-        k2=kw.get("k2", 2), mps=kw.get("mps") or auto["mps"],
+        max_new=_kw("max_new", auto["max_new"]),
+        k2=kw.get("k2", 2), mps=_kw("mps", auto["mps"]),
         a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
-        tail_cap=kw.get("tail_cap")
-        or max(kw.get("tail_block", 256), sel_cap // perf["tail_div"]),
+        tail_cap=_kw("tail_cap", max(kw.get("tail_block", 256),
+                                     sel_cap // perf["tail_div"])),
         fetch_chunk=fetch_chunk)
 
     # pack the fused bf16 kernel table once, outside the chain jit

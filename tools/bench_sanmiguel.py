@@ -61,8 +61,11 @@ def main():
 
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     if args.max_prims == 0:
-        args.max_prims = 4096 if args.n >= 2_000_000 else 1024
-        print(f"max_prims auto -> {args.max_prims}", flush=True)
+        from bvh_tpu.traverse.wide_treelet import wide_treelet_max_prims
+
+        args.max_prims = wide_treelet_max_prims(args.n)
+        print(f"max_prims auto -> {args.max_prims} "
+              f"(wide_treelet_max_prims)", flush=True)
     tris = sponza_class(args.n, seed=0)
     cache = f"/tmp/bench_{args.builder}_{args.n}.bvh"
     if not os.path.exists(cache):

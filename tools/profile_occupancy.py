@@ -31,7 +31,10 @@ def main():
     from bvh_tpu.traverse import wide_treelet as wt
 
     tris = sponza_class(n, seed=0)
-    bvh = load_bvh(f"/tmp/bench_sponza_{n}.bvh")
+    import glob
+
+    dev = sorted(glob.glob(f"/tmp/bench_sponza_dev_{n}_*.bvh"))
+    bvh = load_bvh(dev[0] if dev else f"/tmp/bench_sponza_{n}.bvh")
     tri = Tri(*(jnp.asarray(tris[:, i]) for i in range(3)))
     flat = PrecomputedTri.from_tri(tri).as_flat()
     eye, d, up = scene_camera(tris)
@@ -213,6 +216,71 @@ def main():
               f"occ={occ:.3f}", flush=True)
         return tot
 
+    # ---- chord predictor: ray segment length inside the treelet's
+    # root bbox (phase A's slab test computes entry AND exit, so this
+    # is free to record at collect time) --------------------------------
+    tabnp = np.asarray(tl.table)  # [T, 64, P]
+    # root bbox of treelet t = union of wide node col 0's 8 slot boxes
+    root_b = np.empty((T, 6), np.float32)
+    c0 = tabnp[:, :48, 0].reshape(T, 8, 6)
+    valid_slot = c0[:, :, 0] <= c0[:, :, 1]
+    big = np.float32(np.finfo(np.float32).max)
+    for d in range(3):
+        lo = np.where(valid_slot, c0[:, :, 2 * d], big).min(axis=1)
+        hi = np.where(valid_slot, c0[:, :, 2 * d + 1], -big).max(axis=1)
+        root_b[:, 2 * d] = lo
+        root_b[:, 2 * d + 1] = hi
+    ray_of = ray_of_pair  # [L] sorted order -> compact ray id
+    tid_cl = np.clip(tidS, 0, T - 1)
+    org_s = rayc[0:3][:, ray_of]
+    dir_s = rayc[3:6][:, ray_of]
+    tmin_s = rayc[6][ray_of]
+    tmax_s = rayc[7][ray_of]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / dir_s
+    t0c = np.full(L, -np.inf)
+    t1c = np.full(L, np.inf)
+    bsel = root_b[tid_cl]  # [L, 6]
+    for d in range(3):
+        lo = (bsel[:, 2 * d] - org_s[d]) * inv[d]
+        hi = (bsel[:, 2 * d + 1] - org_s[d]) * inv[d]
+        t0c = np.maximum(t0c, np.minimum(lo, hi))
+        t1c = np.maximum(np.minimum(t1c, np.maximum(lo, hi)), t0c)
+    chord = np.maximum(np.minimum(t1c, tmax_s) - np.maximum(t0c, tmin_s), 0)
+    m = validS & (tidS < T)
+    # within-run rank correlation chord vs steps
+    from scipy import stats as _st  # noqa: F401
+
+    try:
+        rho = _st.spearmanr(chord[m], steps_srt[m]).statistic
+        print(f"\nchord-vs-steps spearman (all pairs): {rho:.3f}",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"(scipy unavailable: {e})", flush=True)
+
+    def simulate_key(key2, blk_s, label, desc=True):
+        idx = np.lexsort((-key2 if desc else key2, tidS))
+        tid_s = tidS[idx]
+        s = steps_srt[idx]
+        v = validS[idx]
+        prev = np.concatenate([[-1], tid_s[:-1]])
+        flag = tid_s != prev
+        rs = np.maximum.accumulate(np.where(flag, np.arange(L), 0))
+        ps = np.concatenate([[0], rs[:-1]])
+        pl_ = np.where(flag, np.arange(L) - ps, 0)
+        pd = np.where(flag, (-pl_) % blk_s, 0)
+        slot = np.arange(L) + np.cumsum(pd)
+        nb = int(slot[-1] // blk_s + 1)
+        bi = slot // blk_s
+        mask = v & (tid_s < T)
+        iters_b = np.zeros(nb)
+        np.maximum.at(iters_b, bi[mask], s[mask])
+        tot = iters_b.sum()
+        occ = s[mask].sum() / max(tot * blk_s, 1)
+        print(f"{label:40s} blocks={nb:5d} iters={tot:9.0f} "
+              f"occ={occ:.3f}", flush=True)
+        return tot
+
     print("\n--- simulated round-1 block_iters ---", flush=True)
     for blk_s in (1024, 512, 256, 128):
         simulate(None, blk_s, f"current order, block={blk_s}")
@@ -220,6 +288,74 @@ def main():
         simulate("entry", blk_s, f"entry-t order, block={blk_s}")
     for blk_s in (1024, 512, 256):
         simulate("steps", blk_s, f"oracle steps order, block={blk_s}")
+    print("", flush=True)
+    for blk_s in (1024, 512, 256):
+        simulate_key(chord, blk_s, f"chord order, block={blk_s}")
+    oct_s = oct_[ray_of].astype(np.float64)
+    for blk_s in (1024, 512):
+        # chord quantized to octaves, octant as tiebreak (coherence)
+        q = np.floor(np.log2(np.maximum(chord, 1e-30)))
+        key = -q * 8 - (7 - oct_s) / 8.0
+        simulate_key(-key, blk_s,
+                     f"chord-octave+oct order, block={blk_s}")
+
+    # ---- oracle-pruning upper bound: pairs whose entry > the ray's
+    # FINAL closest t would be culled by perfect intra-round pruning ---
+    final_t = np.full(Rc, np.inf, np.float32)
+    # per-pair best t from the kernel echo
+    bt_pair = np.full(L, np.inf, np.float64)
+    bt_pair[pid[ok]] = fout[0][ok]
+    bt_srt = bt_pair[dataS_np[8].astype(np.int64)]
+    np.minimum.at(final_t, ray_of[m], bt_srt[m].astype(np.float32))
+    entry_s = entL[srt_pairs]
+    culled = m & (entry_s > final_t[ray_of])
+    print(f"\noracle-pruning: {culled.sum()} of {m.sum()} round-1 pairs "
+          f"({100.0 * culled.sum() / max(m.sum(), 1):.1f}%) have entry > "
+          f"final t; their steps = "
+          f"{steps_srt[culled].sum():.0f} of {steps_srt[m].sum():.0f} "
+          f"({100.0 * steps_srt[culled].sum() / steps_srt[m].sum():.1f}%)",
+          flush=True)
+
+    # ---- budget-split + recompact simulation -------------------------
+    def simulate_budget(blk_s, budget, nphase, label):
+        s = steps_srt[m].copy()
+        tid_s = tidS[m]
+        order = np.lexsort((np.arange(len(s)), tid_s))
+        s = s[order]
+        tid_s = tid_s[order]
+        tot = 0.0
+        for ph in range(nphase):
+            if len(s) == 0:
+                break
+            prev = np.concatenate([[-1], tid_s[:-1]])
+            flag = tid_s != prev
+            n_ = len(s)
+            rs = np.maximum.accumulate(np.where(flag, np.arange(n_), 0))
+            ps = np.concatenate([[0], rs[:-1]])
+            pl_ = np.where(flag, np.arange(n_) - ps, 0)
+            pd = np.where(flag, (-pl_) % blk_s, 0)
+            slot = np.arange(n_) + np.cumsum(pd)
+            bi = slot // blk_s
+            nb = int(bi[-1] + 1)
+            last = ph == nphase - 1
+            eff = np.minimum(s, np.inf if last else budget)
+            iters_b = np.zeros(nb)
+            np.maximum.at(iters_b, bi, eff)
+            tot += iters_b.sum()
+            if last:
+                break
+            keep = s > budget
+            s = s[keep] - budget
+            tid_s = tid_s[keep]
+        print(f"{label:40s} iters={tot:9.0f}", flush=True)
+        return tot
+
+    print("\n--- budget-split (recompact survivors, keep stacks) ---",
+          flush=True)
+    for blk_s in (1024, 512):
+        for budget in (16, 24, 32):
+            simulate_budget(blk_s, budget, 4,
+                            f"block={blk_s} budget={budget} x4 phases")
 
     # step distribution
     sv = steps_srt[validS & (tidS < T)]
