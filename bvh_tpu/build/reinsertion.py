@@ -310,8 +310,7 @@ def _greedy_accept(conflicts, ok, cap):
         und, acc, it = s
         return jnp.any(und) & (it < B)
 
-    def body(s):
-        und, acc, it = s
+    def one_round(und, acc):
         live_pri = jnp.where(und | acc, pri, sentinel)
         acc_pri = jnp.where(acc, pri, sentinel)
         m_live = jnp.full((cap,), B, i32).at[confc].min(
@@ -322,7 +321,16 @@ def _greedy_accept(conflicts, ok, cap):
         g_acc = jnp.min(m_acc[confc], axis=0)
         newly_acc = und & (g_live >= pri)
         newly_rej = und & (g_acc < pri)
-        return (und & ~newly_acc & ~newly_rej, acc | newly_acc, it + 1)
+        return und & ~newly_acc & ~newly_rej, acc | newly_acc
+
+    def body(s):
+        # 2 fixpoint rounds per while iteration (same fusion-floor
+        # amortization as _refit_dirty; an extra round after
+        # convergence is a no-op).
+        und, acc, it = s
+        und, acc = one_round(und, acc)
+        und, acc = one_round(und, acc)
+        return (und, acc, it + 2)
 
     _, accepted, _ = jax.lax.while_loop(
         cond, body, (ok, jnp.zeros((B,), bool), jnp.zeros((), i32)))
@@ -348,8 +356,7 @@ def _refit_dirty(bounds, index, parents, seeds, stack_depth_unused=None):
         _, cur = s
         return jnp.any(cur >= 0)
 
-    def body(s):
-        b, cur = s
+    def one_step(b, cur):
         c = jnp.clip(cur, 0, cap - 1)
         do = (cur >= 0) & inner[c]
         l = jnp.clip(jnp.where(do, first[c], 0), 0, cap - 1)
@@ -361,6 +368,19 @@ def _refit_dirty(bounds, index, parents, seeds, stack_depth_unused=None):
         b = b.at[jnp.where(do, c, cap)].set(merged, mode="drop")
         nxt = jnp.where(cur > 0, parents[c], -1)
         return b, nxt
+
+    def body(s):
+        # 4 climb levels per while iteration: each while-loop boundary
+        # costs a fixed multi-ms fusion/stage floor on this backend
+        # (PERFORMANCE.md cost model) that dwarfs the level's actual
+        # gather work, so amortizing 4 levels per boundary cuts the
+        # refit wall time ~proportionally. Exactness is unchanged: the
+        # levels inside the unroll run in the same order, and extra
+        # steps past the root are inert (cur = -1).
+        b, cur = s
+        for _ in range(4):
+            b, cur = one_step(b, cur)
+        return b, cur
 
     bounds, _ = jax.lax.while_loop(cond, body, (bounds, seeds))
     return bounds
@@ -404,7 +424,14 @@ def _one_iteration(
     area = _half_area_rows(bounds)
     valid_node = (ids > 0) & (ids < node_count)
     scores = jnp.where(valid_node, area, -jnp.inf)
-    top_scores, top_ids = jax.lax.top_k(scores, batch_cap)
+    # full descending sort + slice instead of lax.top_k: a payload sort
+    # at this width costs ~1-3 ms on this backend where top_k measured
+    # ~35 ms (tools/profile_reinsertion.py). Ties at the batch boundary
+    # may admit a different-but-equal-area candidate, which the
+    # reference's heap leaves unspecified too (find_candidates, 88-105).
+    neg_sorted, ids_sorted = jax.lax.sort((-scores, ids), num_keys=1)
+    top_scores = -neg_sorted[:batch_cap]
+    top_ids = ids_sorted[:batch_cap]
     batch_size = jnp.maximum(
         1, (node_count.astype(jnp.float32) * ratio).astype(jnp.int32)
     )
@@ -448,17 +475,22 @@ def _one_iteration(
     index = index.at[p_].set(sib_idx, mode="drop")
 
     # --- refit the dirty ancestor paths (reference: refit_from,
-    # 215-225): every conflict node of an accepted move climbs to the
-    # root recomputing inner bounds from children. Non-accepted rows
-    # are inert (-1).
+    # 215-225). The reference reinsert_node refits from exactly
+    # {to, parent(from)} per applied move (190-213): `to` is the only
+    # node whose box GREW (it now unions dst with the moved subtree)
+    # and parent(from) the only one that SHRANK (it became the old
+    # sibling); every other conflict node keeps its exact bounds
+    # (from/dst moved unchanged; sibling(from)'s slot holds dst's old
+    # box). Seeding only those two rows per move keeps the climb width
+    # at 2*batch instead of 5*batch. Non-accepted rows are inert (-1).
     parents = compute_parents(index, node_count, cap)
-    seeds = jnp.where(accepted[None, :], conflicts, -1).reshape(-1)
-    # Deduplicate seeds before climbing: the 5 conflict nodes of
-    # accepted moves overlap heavily (shared parents/siblings), and
-    # every duplicate pays the full climb-to-root loop. One sort +
-    # neighbor-compare marks duplicates inert (climb order does not
-    # matter — every seed climbs to the root independently).
-    s_sorted = jnp.sort(seeds)
+    seeds2 = jnp.stack([to_s, pfrom_s])
+    seeds = jnp.where(accepted[None, :], seeds2, -1).reshape(-1)
+    # Deduplicate and COMPACT the seeds before climbing: accepted moves
+    # are typically a small fraction of the batch, and every inert lane
+    # still pays the full climb-to-root loop. Descending sort puts the
+    # real seeds first; duplicates (shared ancestors) turn inert.
+    s_sorted = -jnp.sort(-seeds)
     dup = jnp.concatenate([jnp.zeros((1,), bool),
                            s_sorted[1:] == s_sorted[:-1]])
     seeds = jnp.where(dup, -1, s_sorted)
