@@ -225,18 +225,28 @@ def _run():
 
     from bvh_tpu.traverse.wide_treelet import _lcm, _round_up
 
-    tl = build_wide_treelets(bvh, flat, max_prims=1024)
+    tl = build_wide_treelets(bvh, flat)
     Rp = _round_up(R, _lcm(512, 8192))
-    kw = dict(block=512, tail_block=128, top_block=8192, top_stack=48,
-              stack_depth=24, max_portals=32, max_rounds=64,
+    # Throughput knobs only (block/scheduling shape, measured best for
+    # this class in BENCHMARKS); every CAPACITY comes from the library:
+    # scene-derived starting caps + exact overflow flags on the
+    # verified call, then the measured high-water marks
+    # (diag["caps_observed"]) for the steady-state chain — the
+    # zero-knob contract (mini_tree_builder.h:47-58 analogue).
+    kw = dict(block=512, tail_block=128, top_block=8192,
               portals_per_round=4, sel_cap=Rp // 8)
 
-    def render(r, check=False):
-        return wide_treelet_intersect_tris(tl, r, check_overflow=check, **kw)
-
-    hit = render(rays, check=True)  # compile + warm-up + overflow check
+    hit, diag = wide_treelet_intersect_tris(
+        tl, rays, check_overflow=True, return_diag=True, **kw)
     n_hits = int(np.asarray(np.isfinite(hit.t)).sum())
     print(f"# {n_hits} intersections", file=sys.stderr)
+    ls, vli, slots = (float(diag["lane_steps"]),
+                      float(diag["valid_lane_iters"]),
+                      max(1.0, float(diag["lane_slots"])))
+    print(f"# occupancy {ls/slots:.3f} (run-padding "
+          f"{1.0 - vli/slots:.3f}, drain {max(0.0, vli-ls)/slots:.3f}); "
+          f"caps_observed {diag['caps_observed']}", file=sys.stderr)
+    kw.update(diag["caps_observed"])
     _oracle_check(bvh_path, tris, rays, hit, n_hits)
 
     # Steady-state timing: K full renders chained inside one jitted
@@ -265,7 +275,15 @@ def _run():
         to_light = light[None, :] - hitp
         srays = Ray.make(hitp, to_light, tmin=1e-4,
                          tmax=jnp.ones_like(hit.t))
+        # verified any-hit call: shadow rays have their own portal/stack
+        # profile, so the chain gets ITS observed capacities
+        _, sdiag = wide_treelet_intersect_tris(
+            tl, srays, check_overflow=True, return_diag=True,
+            any_hit=True, **dict(
+                block=512, tail_block=128, top_block=8192,
+                portals_per_round=4, sel_cap=Rp // 8))
         skw = dict(kw, any_hit=True)
+        skw.update(sdiag["caps_observed"])
         schain = wide_treelet_render_chain(tl, srays, K, **skw)
         float(schain()[0])
         stimes = []

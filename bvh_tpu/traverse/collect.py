@@ -127,13 +127,14 @@ def collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
         jnp.full((max_portals, B), -1, i32),    # portal ids
         jnp.full((max_portals, B), jnp.inf, f32),  # portal entry t
         jnp.zeros((1, B), i32),                 # portal count
+        jnp.zeros((1, B), i32),                 # stack high-water mark
     )
 
     def cond(s):
         return jnp.any(s[3] > 0)
 
     def body(s):
-        stack, sp, top, active_i, ptid, ptent, pcnt = s
+        stack, sp, top, active_i, ptid, ptent, pcnt, hwm = s
         active = active_i > 0
         # a "leaf" top word is a portal the root-level may hand us
         # directly (single-treelet scenes): record at t = tmin.
@@ -182,24 +183,36 @@ def collect_kernel(node_ref, ray_ref, root_ref, tid_ref, tent_ref, cnt_ref,
         descend = do_node & (dl | dr)
 
         push = do_node & both
-        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
-        stack = jnp.where((lanes == sp) & push, far, stack)
+        # top-at-row-0 shift stack (see wide_treelet._traverse_core):
+        # a push/pop is a conditional one-row shift and the pop read is
+        # row 0 — cheaper than sp-masked addressing at [stack_depth, B]
+        stack = jnp.where(
+            push, jnp.concatenate([far, stack[:-1]], axis=0), stack)
         sp = jnp.where(push, sp + 1, sp)
+        hwm = jnp.maximum(hwm, sp)  # exact needed stack depth
 
         need_pop = active & ~descend  # includes portal-only and miss steps
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0,
-                         keepdims=True)
+        popped = stack[0:1]
+        stack = jnp.where(
+            can_pop,
+            jnp.concatenate([stack[1:], jnp.zeros((1, B), i32)], axis=0),
+            stack)
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~(need_pop & ~can_pop)
-        return (stack, sp, top, active.astype(i32), ptid, ptent, pcnt)
+        return (stack, sp, top, active.astype(i32), ptid, ptent, pcnt,
+                hwm)
 
     out = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, ptid, ptent, pcnt = out
+    _, _, _, _, ptid, ptent, pcnt, hwm = out
     tid_ref[:, :] = ptid
     tent_ref[:, :] = ptent
-    cnt_ref[:, :] = jnp.broadcast_to(pcnt, (8, B))
+    # row 0: portal count (the consumer contract); row 1: stack
+    # high-water mark (lets callers derive a tight top_stack for
+    # steady-state chains); rows 2-7: count again (legacy padding)
+    cnt_ref[:, :] = jnp.concatenate(
+        [pcnt, hwm, jnp.broadcast_to(pcnt, (6, B))], axis=0)
 
 
 # Backwards-compatible alias (the kernel lived in traverse/treelet.py

@@ -83,14 +83,17 @@ def make_onehot_fetch_packed(table, B):
     return fetch
 
 
-def make_onehot_fetch(table, B):
+def make_onehot_fetch(table, B, nparts: int = 3):
     """Return fetch(idx): a bit-exact column gather of `table` [rows, P]
     at per-lane indices idx [1, B] -> [rows, B] f32.
 
     The bf16 split runs once (outside the traversal loop); each fetch
-    costs 3 bf16 MXU passes."""
+    costs 3 bf16 MXU passes.
+
+    `nparts` < 3 drops split summands — INEXACT, measurement-only
+    (wide_treelet._ABLATE)."""
     P = table.shape[1]
-    parts = split_bf16x3(table)
+    parts = split_bf16x3(table)[:nparts]
 
     def fetch(idx):
         acc = None

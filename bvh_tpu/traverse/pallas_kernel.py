@@ -18,8 +18,10 @@ This kernel runs the ENTIRE traversal loop on-chip in one launch:
   fetch-bound wide-treelet kernel where the split fetch won +8-50%.
   Packed index words ride along as f32 columns (exact below 2^24,
   enforced by PALLAS_MAX_NODES);
-- the per-ray short stack is addressed with one-hot masks (no dynamic
-  per-lane indexing, which Mosaic cannot vectorize);
+- the per-ray short stack keeps its top at row 0: pushes/pops are
+  conditional one-row shifts and the pop read is free (no dynamic
+  per-lane indexing, which Mosaic cannot vectorize; cheaper than the
+  earlier sp-masked addressing);
 - rays live in the LANE dimension: all per-ray state is [k, B]-shaped
   (B = ray block in lanes), fetches come out as [C, B] matmul results,
   so every elementwise op runs at full VPU width.
@@ -248,13 +250,15 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
         new_top = jnp.where(both, near, jnp.where(one_l, idx_l, idx_r))
         descend = do_node & ~none
 
-        # A push at sp == stack_depth is dropped (the far subtree is
-        # skipped, never corrupting later pops); callers default to the
-        # exact required_stack_depth so this cannot trigger in practice.
+        # A push at sp == stack_depth drops the BOTTOM entry (top-at-0
+        # shift stack, see wide_treelet._traverse_core); callers default
+        # to the exact required_stack_depth so this cannot trigger in
+        # practice. Shift-push/pop + the free row-0 pop read replace the
+        # sp-masked [stack_depth, B] addressing whose mask traffic
+        # dominated the iteration's VPU budget.
         push = do_node & both
-        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
-        push_row = (lanes == sp) & push
-        stack = jnp.where(push_row, far, stack)
+        stack = jnp.where(
+            push, jnp.concatenate([far, stack[:-1]], axis=0), stack)
         sp = jnp.where(push, jnp.minimum(sp + 1, stack_depth), sp)
 
         leaf_cur = jnp.where(enter_leaf, fid, leaf_cur)
@@ -263,7 +267,11 @@ def _kernel(node_ref, tri_ref, ray_ref, root_ref,
         need_pop = (do_node & none) | leaf_exhausted
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0, keepdims=True)
+        popped = stack[0:1]
+        stack = jnp.where(
+            can_pop,
+            jnp.concatenate([stack[1:], jnp.zeros((1, B), i32)], axis=0),
+            stack)
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~done_by_hit & ~(need_pop & ~can_pop)
         nstat = nstat + do_node.astype(i32)

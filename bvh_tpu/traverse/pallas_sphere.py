@@ -9,7 +9,7 @@ callback; the natural primitive at any dimension is the sphere
 those configurations a fast path:
 
 - the state machine is the same as pallas_kernel.py (one fused table,
-  one-hot MXU fetch, one-hot stack addressing, rays in lanes), with
+  one-hot MXU fetch, top-at-row-0 shift stack, rays in lanes), with
   the slab test looping over `dim` and the leaf step running the
   reference's quadratic sphere intersection (sphere.h:31-49);
 - the node-pair row layout needs 4*dim+2 rows: 16-row tables cover
@@ -222,8 +222,12 @@ def _kernel(node_ref, sph_ref, ray_ref, root_ref, fout_ref, iout_ref,
         descend = do_node & ~none
 
         push = do_node & both
-        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
-        stack = jnp.where((lanes == sp) & push, far, stack)
+        # top-at-row-0 shift stack (see wide_treelet._traverse_core):
+        # conditional one-row shifts + a free row-0 pop read replace
+        # the sp-masked [stack_depth, B] addressing whose mask traffic
+        # dominated the iteration's VPU budget
+        stack = jnp.where(
+            push, jnp.concatenate([far, stack[:-1]], axis=0), stack)
         sp = jnp.where(push, jnp.minimum(sp + 1, stack_depth), sp)
 
         leaf_cur = jnp.where(enter_leaf, fid, leaf_cur)
@@ -232,8 +236,11 @@ def _kernel(node_ref, sph_ref, ray_ref, root_ref, fout_ref, iout_ref,
         need_pop = (do_node & none) | leaf_exhausted
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0,
-                         keepdims=True)
+        popped = stack[0:1]
+        stack = jnp.where(
+            can_pop,
+            jnp.concatenate([stack[1:], jnp.zeros((1, B), i32)], axis=0),
+            stack)
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~done_by_hit & ~(need_pop & ~can_pop)
         nstat = nstat + do_node.astype(i32)

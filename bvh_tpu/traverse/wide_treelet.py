@@ -445,16 +445,25 @@ def build_wide_treelets(bvh: Bvh, tri_flat, permuted: bool = False,
                            len(tri_np))
         geo = tri_pad[tri_idx]                                 # [q, 4, 12]
         gpos = np.where(pvalid, ppos, -1).astype(np.float32)
-        # two fused fancy writes (all 4*12 geometry rows, then the 4
-        # gpos rows — was 52 scattered passes over ~n/4 quads, the
-        # other packing hot spot at 10M; fusing gpos into geo via
-        # concatenate cost a 560 MB copy)
+        # Write the quad region with ONE strided slice per treelet:
+        # quad columns are contiguous ([n_wide[t], n_wide[t]+nq[t]))
+        # and qtid is sorted, so each treelet's quads form a slice of
+        # `geo`/`gpos`. The previous single fancy-index write computed
+        # q x 52 int64 flat indices (~1 GB of index math at 10M,
+        # the dominant pack-tables cost: 23 s -> ~4 s).
         rows_g = (np.arange(QUAD)[:, None] * 13
-                  + np.arange(12)[None, :])                    # [4, 12]
-        table[qtid[:, None, None], rows_g[None, :, :],
-              qcol[:, None, None]] = geo
-        table[qtid[:, None], np.arange(QUAD)[None, :] * 13 + 12,
-              qcol[:, None]] = gpos
+                  + np.arange(12)[None, :]).ravel()            # [48]
+        rows_p = np.arange(QUAD) * 13 + 12                     # [4]
+        geo_f = geo.reshape(-1, 48)
+        tstart = np.r_[0, np.cumsum(np.bincount(
+            qtid, minlength=T).astype(np.int64))]
+        for t in range(T):
+            a, b = tstart[t], tstart[t + 1]
+            if a == b:
+                continue
+            c0 = int(n_wide[t])
+            table[t, rows_g, c0:c0 + (b - a)] = geo_f[a:b].T
+            table[t, rows_p, c0:c0 + (b - a)] = gpos[a:b].T
 
     _mark("pack-tables")
     # ---- super level (San-Miguel scale): cut the top region ----------
@@ -717,6 +726,13 @@ def _sort8(keys, words):
     return kt, wt
 
 
+# Measurement-only ablation switches for tools/ablate_kernel2.py:
+# trace-time gates that drop kernel phases to attribute the
+# per-iteration budget. Empty in production (the default build); any
+# non-empty value produces WRONG results by design.
+_ABLATE: frozenset = frozenset()
+
+
 def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
                    *, any_hit, robust, stack_depth):
     """The 8-wide traversal state machine over ONE treelet table.
@@ -761,7 +777,9 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
     else:
         from bvh_tpu.traverse.onehot import make_onehot_fetch
 
-        fetch = make_onehot_fetch(table, B)
+        nparts = 1 if "fetch1" in _ABLATE else (
+            2 if "fetch2" in _ABLATE else 3)
+        fetch = make_onehot_fetch(table, B, nparts=nparts)
 
     inf_row = jnp.full((1, B), jnp.inf, f32)
 
@@ -780,6 +798,7 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         jnp.zeros((1, B), i32),                # iterations
         jnp.zeros((1, B), i32),                # sticky stack overflow
         jnp.zeros((1, B), i32),                # per-lane active steps
+        jnp.zeros((1, B), i32),                # stack high-water mark
     )
 
     def cond(s):
@@ -787,7 +806,7 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
 
     def body(s):
         (stack, sp, top, leaf_cur, leaf_rem, active_i, tmax,
-         best_t, best_u, best_v, best_pos, iters, ovf, asteps) = s
+         best_t, best_u, best_v, best_pos, iters, ovf, asteps, hwm) = s
         iters = iters + 1
         asteps = asteps + active_i
         active = active_i > 0
@@ -856,8 +875,11 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         # measured SLOWER (84.6 vs 88.5 Mrays/s sponza-chain): the
         # scf.if boundary costs more than the skipped VPU work. Both
         # phases run unconditionally, lane-masked.
-        (best_t, tmax, best_u, best_v, best_pos, done_i) = leaf_phase(
-            (best_t, tmax, best_u, best_v, best_pos))
+        if "leaf" in _ABLATE:
+            done_i = jnp.zeros((1, B), i32)
+        else:
+            (best_t, tmax, best_u, best_v, best_pos, done_i) = leaf_phase(
+                (best_t, tmax, best_u, best_v, best_pos))
         done_by_hit = done_i > 0
         leaf_cur = jnp.where(in_leaf, leaf_cur + 1, leaf_cur)
         leaf_rem = jnp.where(in_leaf, leaf_rem - 1, leaf_rem)
@@ -868,7 +890,6 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         top_is_leaf = (top & 15) != 0
         enter_leaf = in_inner & top_is_leaf
         do_node = in_inner & ~top_is_leaf
-        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
 
         def inner_phase(args):
             stack, sp, ovf = args
@@ -914,16 +935,30 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
                 )
             else:
                 keys = jnp.where(hitm, t0v, jnp.inf)
-            kt, wt = _sort8(keys, words)
+            if "nosort8" in _ABLATE:
+                kt = [keys[i:i + 1] for i in range(WIDTH)]
+                wt = [words[i:i + 1] for i in range(WIDTH)]
+            else:
+                kt, wt = _sort8(keys, words)
             n_hits = jnp.sum(hitm.astype(i32), axis=0, keepdims=True)
 
             descend = do_node & (n_hits > 0)
             new_top = wt[0]
-            # push far-to-near so the nearest remaining pops first
+            # push far-to-near so the nearest remaining pops first.
+            # The stack keeps its TOP at row 0: a push is a conditional
+            # one-row shift-down (static concat + one [D, B] select),
+            # which costs ~2 row-ops per row where the old sp-masked
+            # addressing (iota compare + and + select, plus a masked
+            # max-reduce per pop) cost ~3-4 — the [stack_depth, B] mask
+            # traffic was the single largest VPU term of the iteration.
+            # Pushing with sp already at stack_depth drops the BOTTOM
+            # entry; the sticky ovf flag marks the run invalid exactly
+            # as the old no-write form did (results discarded either
+            # way: wide_treelet_intersect_tris auto-retries deeper).
             for j in range(WIDTH - 1, 0, -1):
                 push_j = do_node & (n_hits > j)
-                col = (lanes == sp) & push_j
-                stack = jnp.where(col, wt[j], stack)
+                shifted = jnp.concatenate([wt[j], stack[:-1]], axis=0)
+                stack = jnp.where(push_j, shifted, stack)
                 ovf = jnp.where(push_j & (sp >= stack_depth), 1, ovf)
                 sp = jnp.where(push_j, jnp.minimum(sp + 1, stack_depth),
                                sp)
@@ -939,19 +974,28 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         need_pop = (do_node & ~descend) | leaf_exhausted
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0,
-                         keepdims=True)
+        popped = stack[0:1]  # top-at-row-0: the pop read is free
+        shifted_up = jnp.concatenate(
+            [stack[1:], jnp.zeros((1, B), i32)], axis=0)
+        stack = jnp.where(can_pop, shifted_up, stack)
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~done_by_hit & ~(need_pop & ~can_pop)
+        hwm = jnp.maximum(hwm, sp)
         return (stack, sp, top, leaf_cur, leaf_rem, active.astype(i32),
                 tmax, best_t, best_u, best_v, best_pos, iters, ovf,
-                asteps)
+                asteps, hwm)
 
     out = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos,
-     iters, ovf, asteps) = out
+     iters, ovf, asteps, hwm) = out
+    # overflow flag and high-water mark share one output row:
+    # enc = hwm + 1000*ovf (hwm <= stack_depth <= 999 always). A max
+    # over lanes/blocks decodes to (any overflow, max needed depth);
+    # when any block overflowed the decoded hwm may understate — fine,
+    # overflowed runs are discarded and re-run deeper anyway.
+    enc = hwm + 1000 * ovf
     return (best_t, best_u, best_v, best_pos.astype(f32),
-            iters.astype(f32), ovf.astype(f32), asteps.astype(f32))
+            iters.astype(f32), enc.astype(f32), asteps.astype(f32))
 
 
 def _wide_kernel_pair(tid_ref, table_ref, pair_ref, out_ref,
@@ -1195,15 +1239,19 @@ def _collect_core(table, org, dir_, tmin, tmax0, lane_active, root_word,
         descend = do_node & (dl | dr)
 
         push = do_node & both
-        lanes = jax.lax.broadcasted_iota(i32, (stack_depth, B), 0)
-        stack = jnp.where((lanes == sp) & push, far, stack)
+        # top-at-row-0 shift stack (see _traverse_core's inner_phase)
+        stack = jnp.where(
+            push, jnp.concatenate([far, stack[:-1]], axis=0), stack)
         sp = jnp.where(push, jnp.minimum(sp + 1, stack_depth), sp)
 
         need_pop = active & ~descend
         can_pop = need_pop & (sp > 0)
         sp = jnp.where(can_pop, sp - 1, sp)
-        popped = jnp.max(jnp.where(lanes == sp, stack, 0), axis=0,
-                         keepdims=True)
+        popped = stack[0:1]
+        stack = jnp.where(
+            can_pop,
+            jnp.concatenate([stack[1:], jnp.zeros((1, B), i32)], axis=0),
+            stack)
         top = jnp.where(descend, new_top, jnp.where(can_pop, popped, top))
         active = active & ~(need_pop & ~can_pop)
         return (stack, sp, top, active.astype(i32), ptid, ptent, pcnt)
@@ -1607,10 +1655,17 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
                 num_keys=1)
             out_pair = jnp.stack(so[1:])[:, :L].reshape(4, K, W)
             adv = K
-        blk_iters = jnp.sum(fout[5].reshape(NBL, blk)[:, 0])
+        iters_per_block = fout[5].reshape(NBL, blk)[:, 0]
+        blk_iters = jnp.sum(iters_per_block)
         lane_steps = jnp.sum(fout[7])
+        # valid-lane iterations: lanes inside each block's treelet run
+        # x that block's lockstep iterations. Splits the idle budget:
+        #   run padding   = 1 - vli / (blk_iters * blk)
+        #   drain waste   = (vli - lane_steps) / (blk_iters * blk)
+        vli = jnp.sum(jnp.minimum(erel_b, blk).astype(f32)
+                      * iters_per_block)
         any_ovf = jnp.max(fout[6])
-        return out_pair, adv, blk_iters, lane_steps, any_ovf
+        return out_pair, adv, blk_iters, lane_steps, vli, any_ovf
 
     def merge_results(S6sel, validk, out_pair, adv, K):
         """Fold fresh kernel hits into each ray's prior best.  First-j
@@ -1818,7 +1873,7 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         wtid1 = pc_t[:K1]
         wtt1 = pc_e[:K1]
         validk1 = (wtid1 >= 0) & (wtt1 <= tmaxc[None, :])
-        out_pair, adv, it1, ls1, ov1 = pair_pass(
+        out_pair, adv, it1, ls1, vl1, ov1 = pair_pass(
             wtid1, wtt1, validk1, ray_rows_c, tmaxc, octc, K1, block,
             None)
         S6c = merge_results(S6c, validk1, out_pair, adv, K1)
@@ -1830,11 +1885,11 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         # more than AC rays are ready, the outer loop compacts again
         # once the first set drains.
         def ocond(c):
-            k, S6c_, alive, it, ls, ov = c
+            k, S6c_, alive, it, ls, vl, ov = c
             return jnp.logical_and(k < max_rounds, alive)
 
         def obody(c):
-            k, S6c_, _, it, ls, ov = c
+            k, S6c_, _, it, ls, vl, ov = c
             key = 1 - ready_of(S6c_, pc_t, pc_e).astype(i32)
             _, idsc = jax.lax.sort((key, iota_c), num_keys=1)
             selc = idsc[:AC]
@@ -1845,38 +1900,45 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             oct_a = jnp.take(octc, selc)
 
             def icond(ic):
-                kk, S6a_, alive, _, _, _ = ic
+                kk, S6a_, alive, _, _, _, _ = ic
                 return jnp.logical_and(kk < max_rounds, alive)
 
             def ibody(ic):
-                kk, S6a_, _, iti, lsi, ovi = ic
+                kk, S6a_, _, iti, lsi, vli_, ovi = ic
                 rot = jax.lax.rem(kk * jnp.asarray(997, i32),
                                   jnp.asarray(T, i32))
                 wtid, wtt, validk = window_of(S6a_, pa_t, pa_e, K2)
-                outp, advk, itn, lsn, ovn = pair_pass(
+                outp, advk, itn, lsn, vln, ovn = pair_pass(
                     wtid, wtt, validk, rays_a, S6a_[0], oct_a, K2,
                     tail_block, rot)
                 S6n = merge_results(S6a_, validk, outp, advk, K2)
                 return (kk + 1, S6n, jnp.any(ready_of(S6n, pa_t, pa_e)),
-                        iti + itn, lsi + lsn, jnp.maximum(ovi, ovn))
+                        iti + itn, lsi + lsn, vli_ + vln,
+                        jnp.maximum(ovi, ovn))
 
-            k, S6a, _, it, ls, ov = jax.lax.while_loop(
+            k, S6a, _, it, ls, vl, ov = jax.lax.while_loop(
                 icond, ibody,
-                (k, S6a, jnp.any(ready_of(S6a, pa_t, pa_e)), it, ls, ov))
+                (k, S6a, jnp.any(ready_of(S6a, pa_t, pa_e)), it, ls, vl,
+                 ov))
             S6c_ = S6c_.at[:, selc].set(S6a)
             return (k, S6c_, jnp.any(ready_of(S6c_, pc_t, pc_e)), it, ls,
-                    ov)
+                    vl, ov)
 
         init = (jnp.asarray(1, i32), S6c,
                 jnp.any(ready_of(S6c, pc_t, pc_e)), it1.astype(f32),
-                ls1, ov1)
-        k, S6c, _, iters_c, lanes_c, ovf_c = jax.lax.while_loop(
+                ls1, vl1, ov1)
+        k, S6c, _, iters_c, lanes_c, vli_c, ovf_c = jax.lax.while_loop(
             ocond, obody, init)
         # unfinished work (max_rounds cut a capped/replaying schedule
         # short) would mean silently missing hits: flag it (povf bit 8)
         povf_c = povf_c + 8.0 * jnp.any(
             ready_of(S6c, pc_t, pc_e)).astype(f32)
-        return S6c, k, iters_c, lanes_c, ovf_c, povf_c
+        # total lane slots = round-1 iters x block + tail iters x
+        # tail_block (the only two kernel widths); with lane_steps and
+        # valid_lane_iters this splits idle into run-padding vs drain
+        it1f = it1.astype(f32)
+        slots_c = it1f * block + (iters_c - it1f) * tail_block
+        return S6c, k, iters_c, lanes_c, vli_c, slots_c, ovf_c, povf_c
 
     # ---- chunk loop + single scatter write-back ------------------------
     out0 = (
@@ -1891,9 +1953,10 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
         return jnp.logical_and(j < n_chunks, j * Rc < nready)
 
     def cbody(c):
-        j, out4, rounds, iters, lanes, ovf, povf_i = c
+        j, out4, rounds, iters, lanes, vli, slots, ovf, povf_i = c
         sel = jax.lax.dynamic_slice(ids, (j * Rc,), (Rc,))
-        S6c, k, iters_c, lanes_c, ovf_c, povf_c = run_chunk(sel)
+        (S6c, k, iters_c, lanes_c, vli_c, slots_c, ovf_c,
+         povf_c) = run_chunk(sel)
         out4 = (
             out4[0].at[sel].set(S6c[1]),
             out4[1].at[sel].set(S6c[2]),
@@ -1901,16 +1964,17 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
             out4[3].at[sel].set(S6c[4]),
         )
         return (j + 1, out4, rounds + k, iters + iters_c,
-                lanes + lanes_c, jnp.maximum(ovf, ovf_c),
-                povf_i | povf_c.astype(i32))
+                lanes + lanes_c, vli + vli_c, slots + slots_c,
+                jnp.maximum(ovf, ovf_c), povf_i | povf_c.astype(i32))
 
     init = (jnp.asarray(0, i32), out0, jnp.asarray(0, i32),
             jnp.zeros((), f32), jnp.zeros((), f32), jnp.zeros((), f32),
-            jnp.asarray(0, i32))
-    _, out4, rounds, iters, lanes, ovf, povf_i = jax.lax.while_loop(
-        ccond, cbody, init)
+            jnp.zeros((), f32), jnp.zeros((), f32), jnp.asarray(0, i32))
+    (_, out4, rounds, iters, lanes, vli, slots, ovf,
+     povf_i) = jax.lax.while_loop(ccond, cbody, init)
     return (out4[0], out4[1], out4[2], out4[3], cnt[0], rounds, iters,
-            lanes, ovf, povf_i.astype(f32))
+            lanes, vli, slots, ovf, povf_i.astype(f32),
+            jnp.max(cnt[1]))
 
 
 def _up_pow2(x: int) -> int:
@@ -2072,8 +2136,8 @@ def wide_treelet_intersect_tris(
             packed = packed.at[6, R:].set(1.0)  # tmin > tmax: inactive
             packed = packed.at[3, R:].set(1.0)
 
-        (bt, bu, bv, pos_f, pcnt, rounds, iters, lanes, ovf,
-         povf) = _render_jit(
+        (bt, bu, bv, pos_f, pcnt, rounds, iters, lanes, vli, slots, ovf,
+         povf, top_hwm) = _render_jit(
             tl.top_node_t, ktab, packed, tl.sup_table,
             top_root=tl.top_root, any_hit=any_hit, robust=robust,
             block=block, tail_block=tail_block, top_block=tb_a,
@@ -2097,7 +2161,9 @@ def wide_treelet_intersect_tris(
             bumps["max_portals"] = _up_pow2(max_cnt)
             msgs.append(f"a ray entered {max_cnt} treelet boxes "
                         f"(max_portals={caps['max_portals']})")
-        if int(ovf):
+        ovf_enc = int(ovf)  # hwm + 1000*overflow (see _traverse_core)
+        stack_hwm = ovf_enc % 1000
+        if ovf_enc >= 1000:
             bumps["stack_depth"] = 2 * caps["stack_depth"]
             msgs.append(f"traversal stack overflow "
                         f"(stack_depth={caps['stack_depth']})")
@@ -2150,10 +2216,31 @@ def wide_treelet_intersect_tris(
                              jnp.full((R,), 1, jnp.int32) * rounds),
     )
     if return_diag:
+        enc = int(ovf)
+        stack_hwm = enc % 1000
+        # Observed tight capacities: a clean verified run measured the
+        # exact stack high-water marks and portal counts, so a
+        # steady-state chain can re-run this scene with minimal
+        # capacities WITHOUT hand-tuned knobs (the zero-knob contract,
+        # mini_tree_builder.h:47-58). max_portals is only tightened on
+        # single-level scenes — with supers, phase-A counts are super
+        # portals while the cap also bounds the A2-merged treelet
+        # lists, so the resolved cap stands.
+        two_level_scene = tl.sup_table.shape[0] > 0
+        observed = dict(caps)
+        observed["stack_depth"] = max(8, stack_hwm)
+        observed["top_stack"] = max(8, int(top_hwm))
+        if R and not two_level_scene:
+            observed["max_portals"] = max(
+                8, _up_pow2(int(jnp.max(pcnt[:R]))))
         return hit, {"rounds": rounds, "block_iters": iters,
-                     "lane_steps": lanes,
-                     "stack_overflow": ovf, "portal_overflow": povf,
-                     "caps": dict(caps)}
+                     "lane_steps": lanes, "valid_lane_iters": vli,
+                     "lane_slots": slots,
+                     "stack_overflow": float(enc >= 1000),
+                     "stack_hwm": stack_hwm,
+                     "top_stack_hwm": int(top_hwm),
+                     "portal_overflow": povf,
+                     "caps": dict(caps), "caps_observed": observed}
     return hit
 
 

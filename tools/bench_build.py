@@ -103,7 +103,7 @@ def main():
             raw = _device_build_raw(*statics, cfg, False)
             K = args.chain
 
-            def chain_of(step):
+            def chain_of(step, k):
                 @jax.jit
                 def run(bb_min, bb_max, centers, order, counts):
                     def body(i, c):
@@ -113,7 +113,7 @@ def main():
                         # min corner: x + 0*x == x exactly)
                         return c + 0.0 * bvh.bounds[0, 0]
 
-                    c = jax.lax.fori_loop(0, K - 1, body, centers)
+                    c = jax.lax.fori_loop(0, k - 1, body, centers)
                     return step(bb_min, bb_max, c, order, counts)
 
                 return run
@@ -127,20 +127,40 @@ def main():
                     raw(*a), rcfg)))
             for name, step in tiers:
                 try:
-                    fn = chain_of(step)
+                    # Probe with a 1-build program first, then clamp the
+                    # chain so ONE program stays under ~90 s of device
+                    # time: a 2M quality=high chain of 8 x 33 s builds in
+                    # one program crashed the TPU worker (UNAVAILABLE,
+                    # BENCHMARKS_r4) — the tunnel does not survive
+                    # multi-minute programs.
+                    probe = chain_of(step, 1)
                     t0 = time.perf_counter()
-                    bvh = sync(fn(bb_min, bb_max, centers, order, counts))
+                    bvh = sync(probe(bb_min, bb_max, centers, order,
+                                     counts))
                     t_compile = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    bvh = sync(probe(bb_min, bb_max, centers, order,
+                                     counts))
+                    t_single = time.perf_counter() - t0
+                    k_eff = max(1, min(K, int(90.0 / max(t_single, 1e-3))))
+                    if k_eff > 1:
+                        fn = chain_of(step, k_eff)
+                        t0 = time.perf_counter()
+                        bvh = sync(fn(bb_min, bb_max, centers, order,
+                                      counts))
+                        t_compile += time.perf_counter() - t0
+                    else:
+                        fn = probe
                     ts = []
                     for _ in range(args.reps):
                         t0 = time.perf_counter()
                         bvh = sync(fn(bb_min, bb_max, centers, order,
                                       counts))
-                        ts.append((time.perf_counter() - t0) / K)
+                        ts.append((time.perf_counter() - t0) / k_eff)
                     ts.sort()
                     dt = ts[len(ts) // 2]
                     print(f"n={n:>9} {name:9s}: {n/dt/1e6:8.3f} Mprims/s "
-                          f"({dt*1e3:8.1f} ms/build x{K}, compile "
+                          f"({dt*1e3:8.1f} ms/build x{k_eff}, compile "
                           f"{t_compile:.1f}s, {int(bvh.node_count)} nodes)",
                           flush=True)
                 except Exception as e:

@@ -152,18 +152,24 @@ def main():
         tl, rays, check_overflow=True, return_diag=True, **kw)
     n_hits = int(np.asarray(np.isfinite(hit.t)).sum())
     print(f"compile+run: {time.perf_counter()-t0:.1f} s", flush=True)
+    slots = max(1.0, float(diag["lane_slots"]))
+    ls = float(diag["lane_steps"])
+    vli = float(diag["valid_lane_iters"])
     print(f"hits: {n_hits} rounds={int(diag['rounds'])} "
           f"block_iters={int(diag['block_iters'])} "
-          f"lane_steps={int(diag['lane_steps'])} "
-          f"occ~={int(diag['lane_steps'])/max(1,int(diag['block_iters']))/args.tail_block:.3f} "
+          f"lane_steps={int(ls)} "
+          f"occ={ls/slots:.3f} "
+          f"(run-padding {1.0 - vli/slots:.3f}, "
+          f"drain {max(0.0, (vli - ls))/slots:.3f}) "
           f"ovf={int(diag['stack_overflow'])} "
           f"povf={int(diag['portal_overflow'])} "
           f"caps={diag['caps']}", flush=True)
 
     K = args.chain
-    # the verified call resolved (and possibly auto-raised) the caps;
-    # the chain reuses them so it measures the same configuration
-    kw.update(diag["caps"])
+    # the verified call resolved (and possibly auto-raised) the caps
+    # and measured the exact stack high-water marks; the chain runs
+    # with the observed-tight capacities (same results, leaner masks)
+    kw.update(diag["caps_observed"])
     chain = wide_treelet_render_chain(tl, rays, K, **kw)
     t0 = time.perf_counter()
     float(chain()[0])

@@ -148,6 +148,12 @@ def main():
     dataS_full = np.concatenate(
         [dataS_full, np.zeros((6, L + blk + 128), np.float32)], axis=0)
 
+    # persist the round-1 workload for tools/ablate_kernel2.py (real
+    # block schedule + pair data, block=1024 placement)
+    np.savez("/tmp/occ_round1.npz", dataS=dataS_np, tidS=tidS,
+             entS=entL[srt_pairs], keyS=keyS, L=L, T=T, blk=blk,
+             ray_of_pair=ray_of_pair)
+
     t0 = time.perf_counter()
     fout = jax.jit(partial(wt._phase_b, block=blk, any_hit=False,
                            robust=False, stack_depth=24,
