@@ -249,22 +249,24 @@ def _run():
     kw.update(diag["caps_observed"])
     _oracle_check(bvh_path, tris, rays, hit, n_hits)
 
-    # Steady-state timing: K full renders chained inside one jitted
-    # program (wide_treelet_render_chain docstring explains why; the
+    # Steady-state timing: chained renders inside one jitted program,
+    # measured at TWO chain lengths so the fixed per-dispatch tunnel
+    # overhead (~126 ms measured round 5) cancels — the marginal
+    # per-render time is the pure device rate (see cli/steady.py; the
     # result-scalar readback is the synchronization point because
     # block_until_ready does not block on this platform).
+    from bvh_tpu.cli.steady import steady_rate
     from bvh_tpu.traverse.wide_treelet import wide_treelet_render_chain
 
-    K = 16
-    chain = wide_treelet_render_chain(tl, rays, K, **kw)
-    float(chain()[0])  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain()[0])
-        times.append((time.perf_counter() - t0) / K)
-    times.sort()
-    mrays = R / times[len(times) // 2] / 1e6
+    def make_chain(k):
+        chain = wide_treelet_render_chain(tl, rays, k, **kw)
+        return lambda: float(chain()[0])
+
+    r_s, c_s, t16, t64 = steady_rate(make_chain, 16, 64)
+    mrays = R / r_s / 1e6
+    print(f"# steady {r_s*1e3:.2f} ms/render (dispatch overhead "
+          f"{c_s*1e3:.0f} ms/call; raw chains: {t16*1e3/16:.2f} "
+          f"ms/render @K=16, {t64*1e3/64:.2f} @K=64)", file=sys.stderr)
 
     # Secondary metrics (stderr) --------------------------------------
     try:
@@ -284,16 +286,15 @@ def _run():
                 portals_per_round=4, sel_cap=Rp // 8))
         skw = dict(kw, any_hit=True)
         skw.update(sdiag["caps_observed"])
-        schain = wide_treelet_render_chain(tl, srays, K, **skw)
-        float(schain()[0])
-        stimes = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(schain()[0])
-            stimes.append((time.perf_counter() - t0) / K)
-        s_mrays = R / sorted(stimes)[1] / 1e6
-        print(f"# shadow rays (any-hit): {s_mrays:.2f} Mrays/s",
-              file=sys.stderr)
+
+        def make_schain(k):
+            chain = wide_treelet_render_chain(tl, srays, k, **skw)
+            return lambda: float(chain()[0])
+
+        sr, sc, _, _ = steady_rate(make_schain, 16, 64)
+        s_mrays = R / sr / 1e6
+        print(f"# shadow rays (any-hit): {s_mrays:.2f} Mrays/s "
+              f"({sr*1e3:.2f} ms/render steady)", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# shadow metric skipped: {e}", file=sys.stderr)
 

@@ -165,23 +165,25 @@ def main():
           f"povf={int(diag['portal_overflow'])} "
           f"caps={diag['caps']}", flush=True)
 
-    K = args.chain
     # the verified call resolved (and possibly auto-raised) the caps
     # and measured the exact stack high-water marks; the chain runs
     # with the observed-tight capacities (same results, leaner masks)
     kw.update(diag["caps_observed"])
-    chain = wide_treelet_render_chain(tl, rays, K, **kw)
+    from bvh_tpu.cli.steady import steady_rate
+
+    def make_chain(k):
+        chain = wide_treelet_render_chain(tl, rays, k, **kw)
+        return lambda: float(chain()[0])
+
+    k1 = args.chain
+    k2 = 3 * args.chain
     t0 = time.perf_counter()
-    float(chain()[0])
-    print(f"chain compile: {time.perf_counter()-t0:.1f} s", flush=True)
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chain()[0])
-        times.append((time.perf_counter() - t0) / K)
-    times.sort()
-    ms = times[1] * 1e3
-    print(f"steady render: {ms:.1f} ms = {R/times[1]/1e6:.2f} Mrays/s",
+    r, c, t1, t2 = steady_rate(make_chain, k1, k2)
+    print(f"chain compile+measure: {time.perf_counter()-t0:.1f} s",
+          flush=True)
+    print(f"steady render: {r*1e3:.1f} ms = {R/r/1e6:.2f} Mrays/s "
+          f"(dispatch overhead {c*1e3:.0f} ms/call; raw "
+          f"{t1*1e3/k1:.1f} ms/render @K={k1}, {t2*1e3/k2:.1f} @K={k2})",
           flush=True)
 
 

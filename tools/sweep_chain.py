@@ -86,18 +86,18 @@ def main():
         kw.update({k: v for k, v in cfg.items()})
         label = f"block={blk} tail={kw['tail_block']} k={kw['portals_per_round']} sel=Rp/{Rp // kw['sel_cap']}"
         try:
-            chain = wide_treelet_render_chain(tl, rays, K, **kw)
+            from bvh_tpu.cli.steady import steady_rate
+
+            def make_chain(k, kw=kw):
+                chain = wide_treelet_render_chain(tl, rays, k, **kw)
+                return lambda: float(chain()[0])
+
             t0 = time.perf_counter()
-            float(chain()[0])
+            t, c, _, _ = steady_rate(make_chain, K, 4 * K)
             tc = time.perf_counter() - t0
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(chain()[0])
-                times.append((time.perf_counter() - t0) / K)
-            t = sorted(times)[1]
-            print(f"{label}: {R/t/1e6:7.2f} Mrays/s ({t*1e3:.2f} ms, "
-                  f"compile {tc:.0f}s)", flush=True)
+            print(f"{label}: {R/t/1e6:7.2f} Mrays/s steady "
+                  f"({t*1e3:.2f} ms/render, overhead {c*1e3:.0f} ms/call,"
+                  f" compile+measure {tc:.0f}s)", flush=True)
         except Exception as e:
             print(f"{label}: FAILED {str(e)[:200]}", flush=True)
 
