@@ -258,11 +258,25 @@ def _run():
     from bvh_tpu.cli.steady import steady_rate
     from bvh_tpu.traverse.wide_treelet import wide_treelet_render_chain
 
+    chains = {}
+
     def make_chain(k):
         chain = wide_treelet_render_chain(tl, rays, k, **kw)
+        chains[k] = chain
         return lambda: float(chain()[0])
 
     r_s, c_s, t16, t64 = steady_rate(make_chain, 16, 64)
+    # Chain-validity guard: the chain's FINAL render must reproduce
+    # the verified call's hits exactly (the ray buffer is preserved
+    # bit-identically through the feed-forward). A collapsed chain —
+    # the NaN feed-forward bug this guard was written for — returns
+    # all-inf and fails here instead of flattering the number.
+    chain_hits = int(np.isfinite(np.asarray(chains[64]())[:R]).sum())
+    assert chain_hits == n_hits, (
+        f"chain output diverged: {chain_hits} hits vs verified {n_hits}"
+        " — the chained renders are not executing the real workload")
+    print(f"# chain output verified: {chain_hits} hits == verified run",
+          file=sys.stderr)
     mrays = R / r_s / 1e6
     print(f"# steady {r_s*1e3:.2f} ms/render (dispatch overhead "
           f"{c_s*1e3:.0f} ms/call; raw chains: {t16*1e3/16:.2f} "

@@ -2051,6 +2051,7 @@ def wide_treelet_intersect_tris(
     a2_cap: int | None = None,
     max_runs: int = 4096,
     tail_cap: int | None = None,
+    packed_table: bool | None = None,
     check_overflow: bool = True,
     auto_caps: bool = True,
     return_diag: bool = False,
@@ -2102,7 +2103,9 @@ def wide_treelet_intersect_tris(
     # fused bf16 kernel table, packed once (auto-cap retries recompile
     # the render but reuse the packed table); narrow tables keep the
     # raw layout + 3x-split fetch (see _traverse_core's dual-path note)
-    if tl.table.shape[2] >= PACK_MIN_P:
+    use_packed = (tl.table.shape[2] >= PACK_MIN_P
+                  if packed_table is None else bool(packed_table))
+    if use_packed:
         ktab = jax.jit(pack_kernel_table)(
             tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
     else:
@@ -2318,7 +2321,10 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
 
     # pack the fused bf16 kernel table once, outside the chain jit
     # (narrow tables keep the raw layout, as in the non-chain driver)
-    if tl.table.shape[2] >= PACK_MIN_P:
+    pk = kw.get("packed_table")
+    use_packed = (tl.table.shape[2] >= PACK_MIN_P
+                  if pk is None else bool(pk))
+    if use_packed:
         ktab = jax.jit(pack_kernel_table)(
             tl.table, jnp.asarray(np.asarray(tl.n_wide), jnp.int32))
     else:
@@ -2328,7 +2334,24 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
     def run(top_node_t, table, sup_table, packed):
         def body(i, c):
             bt = inner(top_node_t, table, c, sup_table)[0]
-            return c + bt[0] * 0
+            # NaN-safe feed-forward. The previous `c + bt[0] * 0`
+            # looks equivalent, but bt[0] is +inf whenever ray 0
+            # MISSES, and inf * 0 is NaN — which silently poisoned
+            # every ray of renders 2..k (NaN tmin/tmax deactivates
+            # all lanes), so chains measured one real render plus
+            # k-1 near-empty ones. This inflated every chained
+            # throughput record from round 2 until round 5 exposed it
+            # (a San-Miguel "marginal render" of 4.7 ms, beyond MXU
+            # physics for its 600K fetch iterations). The min-reduce
+            # is a finite hit distance on any scene with >= 1 hit;
+            # nan_to_num guards even the all-miss case. XLA does not
+            # fold the zero-mul (measured: full marginal cost on CPU
+            # and TPU probes). SUBTRACTING +0.0 (not adding) keeps the
+            # ray buffer bit-identical: x + (+0.0) flips -0.0 ray-dir
+            # components to +0.0, which would flip those rays' octant
+            # masks; x - (+0.0) == x for every x including -0.0.
+            feed = jnp.nan_to_num(jnp.min(bt) * 0.0)
+            return c - feed
 
         out = jax.lax.fori_loop(0, k - 1, body, packed)
         bt = inner(top_node_t, table, out, sup_table)[0]

@@ -105,7 +105,7 @@ def main():
         def chained(brays):
             def body(i, c):
                 out = one(c)
-                return c + out[0:1, 0:1] * 0
+                return c - jnp.nan_to_num(out[0:1, 0:1] * 0.0)
 
             return jax.lax.fori_loop(0, reps, body, brays)
 

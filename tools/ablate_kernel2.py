@@ -107,7 +107,8 @@ def main():
                 f = wt._phase_b(tid_b, start_b, erel_b, ktab, c,
                                 block=blk, any_hit=False, robust=False,
                                 stack_depth=24, interpret=False)
-                bump = (f[0, 0] * 0).astype(c.dtype)
+                # NaN-safe: f[0,0] is +inf when lane 0 misses
+                bump = jnp.nan_to_num(f[0, 0] * 0.0).astype(c.dtype)
                 return c.at[0, 0].add(bump)
 
             data = jax.lax.fori_loop(0, K - 1, body, data)

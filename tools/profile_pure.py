@@ -74,7 +74,7 @@ def main():
     def render4(top_node_t, table, packed):
         def body(i, c):
             bt = inner(top_node_t, table, c)[0]
-            return c + bt[0] * 0
+            return c - jnp.nan_to_num(bt[0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, packed)
 

@@ -127,7 +127,7 @@ def main():
     def phase_a_x4(top_node_t, packed):
         def body(i, c):
             out = phase_a_only(top_node_t, c)
-            return c + out[1][0, 0] * 0
+            return c - jnp.nan_to_num(out[1][0, 0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, packed)
 
@@ -142,7 +142,7 @@ def main():
     def psort_full(ptent, ptid):
         def body(i, c):
             e, t = jax.lax.sort((c, ptid), num_keys=1, dimension=0)
-            return c + e[0, 0] * 0
+            return c - jnp.nan_to_num(e[0, 0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, ptent)
 
@@ -182,7 +182,7 @@ def main():
     def stage1_x4(S6_, ptid_, ptent_):
         def body(i, c):
             out = stage1(c, ptid_, ptent_)
-            return c + out[2][0, 0] * 0
+            return c - jnp.nan_to_num(out[2][0, 0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, S6_)
 
@@ -195,7 +195,7 @@ def main():
     def psort_sel(ptent_sel, ptid_sel):
         def body(i, c):
             e, t = jax.lax.sort((c, ptid_sel), num_keys=1, dimension=0)
-            return c + e[0, 0] * 0
+            return c - jnp.nan_to_num(e[0, 0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, ptent_sel)
 
@@ -257,7 +257,7 @@ def main():
     def stage2_x4(Ssel_, raysel_, ptid_sel_, ptent_sel_):
         def body(i, c):
             out = stage2(c, raysel_, ptid_sel_, ptent_sel_)
-            return c + out[1][0, 0] * 0
+            return c - jnp.nan_to_num(out[1][0, 0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, Ssel_)
 
@@ -280,7 +280,7 @@ def main():
                 jnp.tile(raysel_[j], (K,)) for j in range(7)) + (
                 jnp.tile(Ssel_[0], (K,)), pidf, pidf)
             s = jax.lax.sort(ops, num_keys=1)
-            return c + s[1][0].astype(i32) * 0
+            return c - s[1][0].astype(i32) * 0  # int feed: no inf/NaN risk
 
         return jax.lax.fori_loop(0, 4, body, keyL_)
 
@@ -297,7 +297,7 @@ def main():
             s = jax.lax.sort((c, pidf, pidf), num_keys=1)
             pid = s[1].astype(i32)
             dat = jnp.take(rows9, pid, axis=1)
-            return c + dat[0].astype(i32) * 0
+            return c - dat[0].astype(i32) * 0  # int feed: no inf/NaN risk
 
         return jax.lax.fori_loop(0, 4, body, keyL_)
 
@@ -314,7 +314,7 @@ def main():
     def stage3_x4(tid_, start_, erel_, table_, dataS_):
         def body(i, c):
             out = stage3(tid_, start_, erel_, table_, c)
-            return c + out[0, 0] * 0
+            return c - jnp.nan_to_num(out[0, 0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, dataS_)
 
@@ -366,7 +366,7 @@ def main():
         def body(i, c):
             so = jax.lax.sort((c, fout_[0], fout_[1], fout_[2],
                                fout_[3]), num_keys=1)
-            return c + so[1] * 0
+            return c - jnp.nan_to_num(so[1] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, fout_[4])
 
@@ -378,7 +378,7 @@ def main():
             pid = fout_[4].astype(i32)
             out = jnp.zeros((4, L + 1), f32).at[:, pid].set(
                 fout_[0:4] + i)
-            return c + out[0, 0] * 0
+            return c - jnp.nan_to_num(out[0, 0] * 0.0)
 
         return jax.lax.fori_loop(0, 4, body, jnp.zeros(()))
 
