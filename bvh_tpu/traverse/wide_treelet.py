@@ -69,8 +69,11 @@ ROWS = 64  # combined table rows: 8*6 bounds + 8 words | 4*13 tri rows
 KROWS = 156
 # minimum table width (columns) at which the drivers switch from the
 # raw 64-row f32 table + 3x-split fetch to the packed single-pass
-# table: at P=384 (sponza) the raw path measured 91.7 vs 88.4 Mrays/s;
-# at P=1280 (San-Miguel) the fetch dominates and the packed table wins.
+# table: at P=384 (sponza) the raw path wins (honest r5 re-measure:
+# 118.9 vs 132.6 ms/render — the packed layout's per-iteration
+# reconstruction ops cost more than the two saved dots at narrow P);
+# at P=1280 (San-Miguel) the fetch dominates and the packed table
+# wins. Overridable per call via `packed_table`.
 PACK_MIN_P = 512
 
 
@@ -765,7 +768,7 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
 
     # dual table layout: the raw 64-row f32 table rides the bit-exact
     # 3x-bf16 split fetch (cheaper at narrow P where the fetch is not
-    # dominant — sponza P=384 measured 91.7 vs 88.4 Mrays/s); the
+    # dominant — sponza P=384: 118.9 vs 132.6 ms/render, honest r5); the
     # 156-row pre-packed bf16 table (pack_kernel_table) fetches in ONE
     # MXU pass and wins at San-Miguel-scale widths where the fetch
     # dominates the iteration.
@@ -872,9 +875,10 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
             return (best_t, tmax, best_u, best_v, best_pos, done_by_hit)
 
         # NOTE: gating the phases behind lax.cond(any(in_leaf)) was
-        # measured SLOWER (84.6 vs 88.5 Mrays/s sponza-chain): the
-        # scf.if boundary costs more than the skipped VPU work. Both
-        # phases run unconditionally, lane-masked.
+        # measured SLOWER (r4 A/B; the reading predates the r5 chain
+        # fix, so treat it as directional): the scf.if boundary costs
+        # more than the skipped VPU work. Both phases run
+        # unconditionally, lane-masked.
         if "leaf" in _ABLATE:
             done_i = jnp.zeros((1, B), i32)
         else:
