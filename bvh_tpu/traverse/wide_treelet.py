@@ -1409,7 +1409,12 @@ def phase_a_plan(cols, top_block, *, top_stack=48, max_portals=32,
     and that buffer IS budgeted below."""
     budget_w = budget_bytes // 4
     fetch_chunk = 512 if cols > 2048 else None
-    per_ray = 7 * max_portals + 2 * top_stack + 52 + (fetch_chunk or 0)
+    # 4*top_stack (not 2): the round-5 top-at-row-0 shift stack
+    # materializes a shifted copy of the [top_stack, B] stack per
+    # conditional push/pop concat, and the hwm carry adds a few rows —
+    # re-calibrated against a measured 16.23 MB at (B=8192, MP=32,
+    # top_stack=48): per_ray = 497 observed, 500 modeled.
+    per_ray = 7 * max_portals + 4 * top_stack + 84 + (fetch_chunk or 0)
     while top_block > 1024 and per_ray * top_block + 16 * cols > budget_w:
         top_block //= 2
     return top_block, fetch_chunk
@@ -1419,14 +1424,14 @@ def phase_a_plan(cols, top_block, *, top_stack=48, max_portals=32,
     "top_root", "any_hit", "robust", "block", "tail_block", "top_block",
     "top_stack", "stack_depth", "max_portals", "max_rounds", "sel_cap",
     "portals_per_round", "interpret", "sup_stack", "max_new", "k2",
-    "mps", "a2_cap", "max_runs", "tail_cap", "fetch_chunk"))
+    "mps", "a2_cap", "max_runs", "tail_cap", "fetch_chunk", "tail_k"))
 def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
                 any_hit, robust,
                 block, tail_block, top_block, top_stack, stack_depth,
                 max_portals, max_rounds, sel_cap, portals_per_round,
                 interpret, sup_stack=8, max_new=16, k2=2, mps=16,
                 a2_cap=None, max_runs=4096, tail_cap=None,
-                fetch_chunk=None):
+                fetch_chunk=None, tail_k=None):
     """The whole render in ONE jitted call: phase-A collect, a single
     compaction to the rays that reached any treelet, dense pair rounds
     over the compact set, and one scatter write-back — zero host
@@ -1465,7 +1470,14 @@ def _render_jit(top_node_t, table, packed, sup_table=None, *, top_root,
     MP = max_portals
     Rc = min(sel_cap, Rp)
     K1 = portals_per_round
-    K2 = portals_per_round
+    # tail rounds may expand a different (usually larger) window: each
+    # tail round costs ~6 ms of fixed per-stage overhead at sponza
+    # (honest r5 decomposition), so draining straggler portals in one
+    # or two wide windows beats many narrow rounds. Exactness is
+    # unaffected: windows are masked by per-portal validity and the
+    # merge is idempotent (bvh.h:137-149 near-to-far rule preserved by
+    # the first-j strict-min).
+    K2 = tail_k if tail_k is not None else portals_per_round
 
     # ---- phase A ------------------------------------------------------
     if fetch_chunk and top_node_t.shape[1] % fetch_chunk:
@@ -2055,6 +2067,7 @@ def wide_treelet_intersect_tris(
     a2_cap: int | None = None,
     max_runs: int = 4096,
     tail_cap: int | None = None,
+    tail_k: int | None = None,
     packed_table: bool | None = None,
     check_overflow: bool = True,
     auto_caps: bool = True,
@@ -2154,7 +2167,7 @@ def wide_treelet_intersect_tris(
             portals_per_round=portals_per_round, interpret=interpret,
             sup_stack=tl.sup_depth + 1, max_new=caps["max_new"], k2=k2,
             mps=caps["mps"], a2_cap=a2_cap, max_runs=max_runs,
-            tail_cap=tail_cap, fetch_chunk=fetch_chunk,
+            tail_cap=tail_cap, fetch_chunk=fetch_chunk, tail_k=tail_k,
         )
         if not (R and check_overflow):
             break
@@ -2321,7 +2334,7 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
         tail_cap=_kw("tail_cap", max(kw.get("tail_block", 256),
                                      sel_cap // perf["tail_div"])),
-        fetch_chunk=fetch_chunk)
+        fetch_chunk=fetch_chunk, tail_k=kw.get("tail_k"))
 
     # pack the fused bf16 kernel table once, outside the chain jit
     # (narrow tables keep the raw layout, as in the non-chain driver)

@@ -193,6 +193,19 @@ def test_capped_runs_replay_matches(scene):
     _hits_match(a, b, rays.tmin.shape[0])
 
 
+def test_tail_k_window_matches(scene):
+    """Tail rounds draining a WIDER portal window (tail_k) must give
+    the same hits: windows are validity-masked and the merge is
+    idempotent, so only the round structure changes."""
+    bvh, flat, rays = scene
+    tl = build_wide_treelets(bvh, flat, max_prims=128)
+    kw = dict(prim_ids=bvh.prim_ids, block=256, top_block=256,
+              max_portals=64, interpret=True)
+    a = wide_treelet_intersect_tris(tl, rays, **kw)
+    b = wide_treelet_intersect_tris(tl, rays, tail_k=12, **kw)
+    _hits_match(a, b, rays.tmin.shape[0])
+
+
 def test_chunked_phase_a_fetch_bit_identical(scene, monkeypatch):
     """The San-Miguel-scale chunked one-hot fetch (phase_a_plan picking
     a fetch_chunk smaller than the top table) must be bit-identical to
@@ -220,12 +233,17 @@ def test_phase_a_plan_budget():
     Mosaic compile fail (round-2 failure mode)."""
     from bvh_tpu.traverse.wide_treelet import phase_a_plan
 
-    tb, chunk = phase_a_plan(384, 8192)
-    assert (tb, chunk) == (8192, None), "sponza config untouched"
-    # the measured-OOM config (MP=64) must re-tier below 8192
+    # sponza at OBSERVED caps (top_stack ~8-16, MP 16-32) stays 8192
+    tb, chunk = phase_a_plan(384, 8192, top_stack=16, max_portals=32)
+    assert (tb, chunk) == (8192, None), "sponza observed config untouched"
+    # the measured-OOM configs must re-tier below 8192 (the r5 shift
+    # stack raised the per-ray footprint: 16.23 MB measured at
+    # MP=32, top_stack=48 — the model must now reject it)
     tb, chunk = phase_a_plan(128, 8192, max_portals=64)
     assert tb < 8192
-    assert (7 * 64 + 2 * 48 + 52) * tb + 16 * 128 <= 15 * 1024 * 1024 // 4
+    tb48, _ = phase_a_plan(384, 8192, top_stack=48, max_portals=32)
+    assert tb48 < 8192
+    assert (7 * 64 + 4 * 48 + 84) * tb + 16 * 128 <= 15 * 1024 * 1024 // 4
     # very large top tables stream the one-hot fetch
     tb, chunk = phase_a_plan(16384, 8192)
     assert chunk is not None and chunk % 128 == 0

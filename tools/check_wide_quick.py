@@ -40,7 +40,7 @@ def main():
 
     tl = build_wide_treelets(bvh, flat, max_prims=1024)
     Rp = _round_up(side * side, _lcm(1024, 8192))
-    kw = dict(block=1024, tail_block=256, top_block=8192, top_stack=48,
+    kw = dict(block=1024, tail_block=256, top_block=8192, top_stack=16,
               stack_depth=24, max_portals=32, max_rounds=64,
               portals_per_round=4, sel_cap=Rp // 8)
     t0 = time.perf_counter()

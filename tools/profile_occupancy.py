@@ -79,7 +79,7 @@ def main():
             ],
         )
         kernel = partial(_collect_kernel, dim=3, robust=False,
-                         stack_depth=48, max_portals=MP)
+                         stack_depth=16, max_portals=MP)
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((MP, Rp), i32),

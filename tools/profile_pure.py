@@ -64,7 +64,7 @@ def main():
         wt._render_jit, top_root=tl.top_root, any_hit=False, robust=False,
         block=block,
         tail_block=int(os.environ.get("WT_TAIL_BLOCK", 256)),
-        top_block=top_block, top_stack=48,
+        top_block=top_block, top_stack=16,
         stack_depth=24, max_portals=32,
         max_rounds=int(os.environ.get("WT_MAX_ROUNDS", 64)),
         sel_cap=sel_cap,

@@ -115,7 +115,7 @@ def main():
             ],
         )
         kernel = partial(_collect_kernel, dim=3, robust=False,
-                         stack_depth=48, max_portals=MP)
+                         stack_depth=16, max_portals=MP)  # hwm-measured max is 8; 48 + the r5 shift-stack copies exceed scoped VMEM
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((MP, Rp), i32),

@@ -78,7 +78,7 @@ def main():
         tb = cfg.pop("top_block", 8192)
         Rp = _round_up(R, _lcm(blk, tb))
         kw = dict(block=blk, tail_block=cfg.pop("tail_block", 128),
-                  top_block=tb, top_stack=48, stack_depth=24,
+                  top_block=tb, top_stack=16, stack_depth=24,
                   max_portals=32, max_rounds=64,
                   portals_per_round=cfg.pop("k", 4),
                   sel_cap=Rp // cfg.pop("rc_div", 8),
