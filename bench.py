@@ -245,6 +245,8 @@ def _run():
                       max(1.0, float(diag["lane_slots"])))
     print(f"# occupancy {ls/slots:.3f} (run-padding "
           f"{1.0 - vli/slots:.3f}, drain {max(0.0, vli-ls)/slots:.3f}); "
+          f"rounds {int(diag['rounds'])}, block_iters "
+          f"{int(diag['block_iters'])}, lane_steps {int(ls)}; "
           f"caps_observed {diag['caps_observed']}", file=sys.stderr)
     kw.update(diag["caps_observed"])
     _oracle_check(bvh_path, tris, rays, hit, n_hits)
