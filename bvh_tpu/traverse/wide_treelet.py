@@ -67,6 +67,8 @@ ROWS = 64  # combined table rows: 8*6 bounds + 8 words | 4*13 tri rows
 # oracle (measured; Pallas matched separate-round 8192/8192 in a
 # direct probe while 35% of cross components differ by 1 ulp).
 KROWS = 156
+# state-machine steps per while-loop iteration in the wide kernel
+_UNROLL = 2
 # minimum table width (columns) at which the drivers switch from the
 # raw 64-row f32 table + 3x-split fetch to the packed single-pass
 # table: at P=384 (sponza) the raw path wins (honest r5 re-measure:
@@ -807,7 +809,7 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
     def cond(s):
         return jnp.any(s[5] > 0)
 
-    def body(s):
+    def one_step(s):
         (stack, sp, top, leaf_cur, leaf_rem, active_i, tmax,
          best_t, best_u, best_v, best_pos, iters, ovf, asteps, hwm) = s
         iters = iters + 1
@@ -988,6 +990,20 @@ def _traverse_core(table, org, dir_, tmin, tmax0, lane_active,
         return (stack, sp, top, leaf_cur, leaf_rem, active.astype(i32),
                 tmax, best_t, best_u, best_v, best_pos, iters, ovf,
                 asteps, hwm)
+
+    def body(s):
+        # Unroll 2 state-machine steps per while iteration (the binary
+        # mega-kernel's trick, pallas_kernel.py): a step is a no-op for
+        # inactive lanes, so chaining steps is semantically free; it
+        # halves the while-loop boundary cost (cond reduce + scalar
+        # sync) and widens the scheduler's window across two
+        # independent-ish step bodies. `iters` counts STEPS (a block
+        # whose max lane finishes on an odd step pays one trailing
+        # no-op step, honestly counted), so the diag's lane-slot
+        # arithmetic is unchanged.
+        for _ in range(_UNROLL):
+            s = one_step(s)
+        return s
 
     out = jax.lax.while_loop(cond, body, state)
     (_, _, _, _, _, _, tmax, best_t, best_u, best_v, best_pos,
