@@ -142,7 +142,10 @@ def main():
                     bvh = sync(probe(bb_min, bb_max, centers, order,
                                      counts))
                     t_single = time.perf_counter() - t0
-                    k_eff = max(1, min(K, int(90.0 / max(t_single, 1e-3))))
+                    # 40 s: a ~70 s 3-chained 2M high program still
+                    # crashed the worker (r5) — the tunnel tolerates
+                    # less than the r4 crash suggested
+                    k_eff = max(1, min(K, int(40.0 / max(t_single, 1e-3))))
                     if k_eff > 1:
                         fn = chain_of(step, k_eff)
                         t0 = time.perf_counter()
