@@ -2343,7 +2343,7 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         max_portals=max_portals,
         max_rounds=_kw("max_rounds", auto["max_rounds"]),
         sel_cap=sel_cap,
-        portals_per_round=ppr, interpret=False,
+        portals_per_round=ppr, interpret=kw.get("interpret", False),
         sup_stack=tl.sup_depth + 1,
         max_new=_kw("max_new", auto["max_new"]),
         k2=kw.get("k2", 2), mps=_kw("mps", auto["mps"]),

@@ -193,6 +193,38 @@ def test_capped_runs_replay_matches(scene):
     _hits_match(a, b, rays.tmin.shape[0])
 
 
+def test_render_chain_survives_missing_ray0(scene):
+    """REGRESSION (round-5 retraction): the chain's feed-forward must
+    not poison the ray buffer when ray 0 misses. The old
+    `c + bt[0] * 0` feed turned bt[0] = +inf into NaN and silently
+    collapsed renders 2..k to empty shells — every chained throughput
+    number of rounds 2-4 measured that. The chain's final render must
+    reproduce the direct call bit-for-bit."""
+    bvh, flat, rays = scene
+    import jax.numpy as jnp
+
+    # force ray 0 to miss: point it away from the scene
+    org = jnp.asarray(rays.org).at[0].set(jnp.asarray([1e6, 1e6, 1e6]))
+    d = jnp.asarray(rays.dir).at[0].set(jnp.asarray([0.0, 0.0, 1.0]))
+    r2 = Ray.make(org, d, tmin=rays.tmin, tmax=rays.tmax)
+    tl = build_wide_treelets(bvh, flat, max_prims=256)
+    kw = dict(block=256, top_block=512, interpret=True)
+    direct = wide_treelet_intersect_tris(
+        tl, r2, prim_ids=bvh.prim_ids, **kw)
+    assert not np.isfinite(np.asarray(direct.t)[0]), "ray 0 must miss"
+    from bvh_tpu.traverse.wide_treelet import wide_treelet_render_chain
+
+    chain = wide_treelet_render_chain(tl, r2, 3, **kw)
+    bt = np.asarray(chain())[: r2.tmin.shape[0]]
+    dt_ = np.asarray(direct.t)
+    dt_cmp = np.where(np.isfinite(dt_), dt_, np.inf)
+    bt_cmp = np.where(np.isfinite(bt), bt, np.inf)
+    assert np.array_equal(dt_cmp, bt_cmp), (
+        f"chained render diverged: {np.isfinite(bt).sum()} hits vs "
+        f"{np.isfinite(dt_).sum()} direct"
+    )
+
+
 def test_tail_k_window_matches(scene):
     """Tail rounds draining a WIDER portal window (tail_k) must give
     the same hits: windows are validity-masked and the merge is
