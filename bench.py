@@ -227,14 +227,13 @@ def _run():
 
     tl = build_wide_treelets(bvh, flat)
     Rp = _round_up(R, _lcm(512, 8192))
-    # Throughput knobs only (block/scheduling shape, measured best for
-    # this class in BENCHMARKS); every CAPACITY comes from the library:
-    # scene-derived starting caps + exact overflow flags on the
-    # verified call, then the measured high-water marks
-    # (diag["caps_observed"]) for the steady-state chain — the
-    # zero-knob contract (mini_tree_builder.h:47-58 analogue).
-    kw = dict(block=512, tail_block=128, top_block=8192,
-              portals_per_round=4, sel_cap=Rp // 8)
+    # One throughput knob (sel_cap, measured best for this class);
+    # block/tail_block/portals_per_round come from wide_treelet_perf
+    # and every CAPACITY from the library: scene-derived starting caps
+    # + exact overflow flags on the verified call, then the measured
+    # high-water marks (diag["caps_observed"]) for the steady-state
+    # chain — the zero-knob contract (mini_tree_builder.h:47-58).
+    kw = dict(sel_cap=Rp // 8)
 
     hit, diag = wide_treelet_intersect_tris(
         tl, rays, check_overflow=True, return_diag=True, **kw)
@@ -297,9 +296,7 @@ def _run():
         # profile, so the chain gets ITS observed capacities
         _, sdiag = wide_treelet_intersect_tris(
             tl, srays, check_overflow=True, return_diag=True,
-            any_hit=True, **dict(
-                block=512, tail_block=128, top_block=8192,
-                portals_per_round=4, sel_cap=Rp // 8))
+            any_hit=True, **dict(sel_cap=Rp // 8))
         skw = dict(kw, any_hit=True)
         skw.update(sdiag["caps_observed"])
 

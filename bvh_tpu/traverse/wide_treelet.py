@@ -2045,20 +2045,24 @@ def wide_treelet_caps(tl: WideTreelets, portals_per_round: int = 4) -> dict:
 
 
 def wide_treelet_perf(tl: WideTreelets) -> dict:
-    """Scale-aware PERFORMANCE defaults (round-4 hardware A/Bs,
-    BENCHMARKS_r4.txt §San-Miguel): at San-Miguel scale (T in the
-    thousands) expanding 16 portals per selected ray per round and
-    letting the tail tier hold sel_cap/4 rays cuts the render from 54
-    rounds / 758K block iterations to 3 / 381K (occupancy 0.17 ->
-    0.46); at sponza scale (T~500, 7 rounds total) k=4 with the
-    standard sel_cap/8 tail measured best.  Unlike wide_treelet_caps
-    these are throughput knobs, not capacities — a wrong pick is slow,
-    never incorrect (the reference has no analogue: its recursive
-    traversal has no round structure, bvh.h:124-182)."""
+    """Scale-aware PERFORMANCE defaults, re-measured HONESTLY in round
+    5 (fixed chains + two-point steady, BENCHMARKS_r5.txt): at
+    San-Miguel scale (T in the thousands) round-1 treelet runs are
+    ~hundreds of lanes, so small kernel blocks win — block 1024 ->
+    512 -> 256 measured 1777 -> 1221 -> 1012 ms/render (run-padding
+    0.66 -> 0.49 -> 0.29); k=16 still beats many narrow rounds there.
+    At sponza scale (T~500, runs mean ~840) block 512 / tail 128 /
+    k=4 measured best (118.9 ms; 256/1024/2048 and k=8/16 all worse).
+    Unlike wide_treelet_caps these are throughput knobs, not
+    capacities — a wrong pick is slow, never incorrect (the reference
+    has no analogue: its recursive traversal has no round structure,
+    bvh.h:124-182)."""
     T = int(tl.table.shape[0])
     if T >= 2048:
-        return dict(portals_per_round=16, tail_div=4)
-    return dict(portals_per_round=4, tail_div=8)
+        return dict(portals_per_round=16, tail_div=4,
+                    block=256, tail_block=128)
+    return dict(portals_per_round=4, tail_div=8,
+                block=512, tail_block=128)
 
 
 def wide_treelet_intersect_tris(
@@ -2068,8 +2072,8 @@ def wide_treelet_intersect_tris(
     *,
     any_hit: bool = False,
     robust: bool = False,
-    block: int = 1024,
-    tail_block: int = 256,
+    block: int | None = None,
+    tail_block: int | None = None,
     top_block: int = 8192,
     top_stack: int | None = None,
     stack_depth: int | None = None,
@@ -2120,6 +2124,10 @@ def wide_treelet_intersect_tris(
     perf = wide_treelet_perf(tl)
     if portals_per_round is None:
         portals_per_round = perf["portals_per_round"]
+    if block is None:
+        block = perf["block"]
+    if tail_block is None:
+        tail_block = perf["tail_block"]
     auto = wide_treelet_caps(tl, portals_per_round)
     caps = dict(
         max_portals=max_portals if max_portals is not None
@@ -2310,7 +2318,8 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
     perf = wide_treelet_perf(tl)
     ppr = _kw("portals_per_round", perf["portals_per_round"])
     auto = wide_treelet_caps(tl, ppr)
-    block = kw.get("block", 1024)
+    block = _kw("block", perf["block"])
+    tail_block = _kw("tail_block", perf["tail_block"])
     top_block = kw.get("top_block", 8192)
     max_portals = _kw("max_portals", auto["max_portals"])
     top_block, fetch_chunk = phase_a_plan(
@@ -2336,7 +2345,7 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
     inner = partial(
         _render_jit, top_root=tl.top_root,
         any_hit=kw.get("any_hit", False), robust=kw.get("robust", False),
-        block=block, tail_block=kw.get("tail_block", 256),
+        block=block, tail_block=tail_block,
         top_block=top_block,
         top_stack=_kw("top_stack", tl.top_depth + 1),
         stack_depth=_kw("stack_depth", 7 * tl.wide_depth + 8),
@@ -2348,7 +2357,7 @@ def wide_treelet_render_chain(tl: WideTreelets, rays, k: int, **kw):
         max_new=_kw("max_new", auto["max_new"]),
         k2=kw.get("k2", 2), mps=_kw("mps", auto["mps"]),
         a2_cap=kw.get("a2_cap"), max_runs=kw.get("max_runs", 4096),
-        tail_cap=_kw("tail_cap", max(kw.get("tail_block", 256),
+        tail_cap=_kw("tail_cap", max(tail_block,
                                      sel_cap // perf["tail_div"])),
         fetch_chunk=fetch_chunk, tail_k=kw.get("tail_k"))
 

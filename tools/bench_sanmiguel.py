@@ -26,8 +26,9 @@ def main():
     ap.add_argument("--super-prims", type=int, default=0)
     ap.add_argument("--flat", action="store_true",
                     help="disable the super level (round-2 flat config)")
-    ap.add_argument("--block", type=int, default=1024)
-    ap.add_argument("--tail-block", type=int, default=256)
+    ap.add_argument("--block", type=int, default=0,
+                    help="0 = scale-derived (wide_treelet_perf)")
+    ap.add_argument("--tail-block", type=int, default=0)
     ap.add_argument("--top-block", type=int, default=8192)
     # capacity knobs default to 0 = scene-derived (wide_treelet_caps)
     # with exact-overflow auto-retry — the zero-knob contract
@@ -138,8 +139,13 @@ def main():
           flush=True)
     print(f"table HBM: {tl.table.nbytes/1e9:.2f} GB", flush=True)
 
-    Rp = _round_up(R, _lcm(args.block, args.top_block))
-    kw = dict(block=args.block, tail_block=args.tail_block,
+    from bvh_tpu.traverse.wide_treelet import wide_treelet_perf
+
+    perf = wide_treelet_perf(tl)
+    blk = args.block or perf["block"]
+    tblk = args.tail_block or perf["tail_block"]
+    Rp = _round_up(R, _lcm(blk, args.top_block))
+    kw = dict(block=blk, tail_block=tblk,
               top_block=args.top_block,
               max_portals=args.max_portals or None,
               max_rounds=args.max_rounds or None,
